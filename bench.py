@@ -1,0 +1,97 @@
+"""Benchmark: CIFAR-10 Triple-GAN three-player train-step throughput.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Metric definition (BASELINE.json): images/sec/chip through the full
+three-player (D→G→C) train step on the cifar10_4k config; "images" counts
+the per-stream batch size (one iteration advances all three players on
+batch_size labeled + batch_size unlabeled + batch_size generated images).
+
+Baseline: the reference publishes no throughput (BASELINE.md). We use an
+estimated 2,500 img/s for the TF-1.x reference on a single A100 (three
+sequential sess.runs of small-conv graphs, f32) as the denominator;
+the driver-set target is ≥5× that per chip. Override via
+BENCH_BASELINE_IMG_S. Tunables: BENCH_BATCH (default 512), BENCH_DTYPE
+(default bfloat16), BENCH_STEPS (default 30).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def main() -> None:
+    from triplegan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from triplegan_tpu.configs import get_config
+    from triplegan_tpu.configs.base import make_networks
+    from triplegan_tpu.data.datasets import synthetic_dataset
+    from triplegan_tpu.data.pipeline import BatchSampler, device_prefetch
+    from triplegan_tpu.data.zca import fit_zca
+    from triplegan_tpu.train.schedule import make_optimizers
+    from triplegan_tpu.train.state import create_state
+    from triplegan_tpu.train.step import make_train_step
+
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    n_steps = int(os.environ.get("BENCH_STEPS", "30"))
+    baseline = float(os.environ.get("BENCH_BASELINE_IMG_S", "2500"))
+
+    cfg = get_config("cifar10_4k")
+    cfg.batch_size = batch
+    cfg.compute_dtype = dtype
+
+    # CIFAR-shaped synthetic data (the step's cost is data-independent).
+    data = synthetic_dataset(
+        image_size=32, channels=3, num_classes=10,
+        n_train=4096, n_test=256, num_labeled=512,
+    )
+    zca = fit_zca(data.x_unlabel[:2048])
+
+    total_steps = 10_000
+    nets = make_networks(cfg)
+    opts = make_optimizers(cfg, total_steps)
+    state = create_state(cfg, nets, opts)
+    step = jax.jit(
+        make_train_step(cfg, nets, opts, total_steps, zca_stats=zca),
+        donate_argnums=0,
+    )
+    sampler = BatchSampler(data, cfg.batch_size, seed=0)
+    batches = device_prefetch(sampler.triple_iter(cfg.z_dim, cfg.num_classes), depth=2)
+
+    # Warmup: compile + 3 steps.
+    for _ in range(3):
+        state, metrics = step(state, next(batches))
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, next(batches))
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = n_steps * batch / dt
+    n_chips = jax.device_count()
+    value = imgs_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "cifar10_triplegan_3player_step_throughput",
+                "value": round(value, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(value / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

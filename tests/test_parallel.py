@@ -1,0 +1,105 @@
+"""Multi-chip tests without a cluster (SURVEY.md §4.6): 8 fake CPU devices,
+shard_map'd step == single-device step on the same global batch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.helpers import deterministic_config, tiny_data
+from triplegan_tpu.configs.base import make_networks
+from triplegan_tpu.data.pipeline import BatchSampler
+from triplegan_tpu.parallel import mesh as pmesh
+from triplegan_tpu.train.schedule import make_optimizers
+from triplegan_tpu.train.state import create_state
+from triplegan_tpu.train.step import make_eval_step, make_train_step
+
+
+def _allclose_trees(t1, t2, rtol=2e-4, atol=2e-5):
+    for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=rtol, atol=atol)
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (fake) devices")
+    return jax.devices()[:8]
+
+
+def test_sharded_step_equals_single_device(eight_devices):
+    cfg = deterministic_config()
+    cfg.batch_size = 16  # 2 per device over 8
+    nets = make_networks(cfg)
+    opts = make_optimizers(cfg, 16)
+    data = tiny_data(cfg)
+    sampler = BatchSampler(data, cfg.batch_size, seed=0)
+    batch = sampler.next_triple(cfg.z_dim, cfg.num_classes)
+
+    # deterministic pseudo-labels so no per-shard sampling divergence
+    single = jax.jit(
+        make_train_step(cfg, nets, opts, 16, pseudo_label_mode="argmax")
+    )
+    state0 = create_state(cfg, nets, opts)
+    s_single, m_single = single(state0, batch)
+
+    mesh = pmesh.make_mesh(8)
+    sharded = pmesh.shard_train_step(
+        make_train_step(
+            cfg, nets, opts, 16, axis_name=pmesh.AXIS, pseudo_label_mode="argmax"
+        ),
+        mesh,
+    )
+    state0b = create_state(cfg, nets, opts)
+    s_shard, m_shard = sharded(state0b, batch)
+
+    _allclose_trees(s_single.params, s_shard.params)
+    _allclose_trees(s_single.bn, s_shard.bn)
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_single[k]), float(m_shard[k]), rtol=5e-4, atol=5e-5
+        )
+
+
+def test_sharded_eval_equals_single_device(eight_devices):
+    cfg = deterministic_config()
+    cfg.batch_size = 16
+    nets = make_networks(cfg)
+    opts = make_optimizers(cfg, 16)
+    state = create_state(cfg, nets, opts)
+    data = tiny_data(cfg)
+    sampler = BatchSampler(data, cfg.batch_size, seed=0)
+    batch = next(iter(sampler.test_batches(16)))
+
+    single = jax.jit(make_eval_step(cfg, nets))
+    out1 = single(state, batch)
+
+    mesh = pmesh.make_mesh(8)
+    sharded = pmesh.shard_eval_step(make_eval_step(cfg, nets, axis_name=pmesh.AXIS), mesh)
+    out8 = sharded(state, batch)
+
+    assert float(out1["correct"]) == float(out8["correct"])
+    assert float(out1["count"]) == float(out8["count"])
+
+
+def test_sharded_step_runs_with_stochastic_layers(eight_devices):
+    """Full stochastic path (noise/dropout/sampled pseudo-labels) must still
+    produce replicated (identical-across-devices) states and finite metrics."""
+    from tests.helpers import tiny_config
+
+    cfg = tiny_config()
+    cfg.batch_size = 16
+    nets = make_networks(cfg)
+    opts = make_optimizers(cfg, 16)
+    data = tiny_data(cfg)
+    sampler = BatchSampler(data, cfg.batch_size, seed=0)
+    mesh = pmesh.make_mesh(8)
+    sharded = pmesh.shard_train_step(
+        make_train_step(cfg, nets, opts, 16, axis_name=pmesh.AXIS), mesh
+    )
+    state = create_state(cfg, nets, opts)
+    for _ in range(2):
+        state, metrics = sharded(state, sampler.next_triple(cfg.z_dim, cfg.num_classes))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert int(state.step) == 2

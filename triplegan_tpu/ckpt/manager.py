@@ -1,0 +1,51 @@
+"""Orbax-backed checkpointing of the full three-player state.
+
+Reference parity (SURVEY.md §3.5): ``tf.train.Saver`` persisted every graph
+variable — player params, Adam m/v slots, BN moving stats, global step — and
+``Saver.restore`` resumed training exactly. The rebuild's single TrainState
+pytree carries all of that plus the explicit RNG key; orbax saves it
+asynchronously (the TPU keeps training while the previous checkpoint
+serializes) and keeps the N latest.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        os.makedirs(directory, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                enable_async_checkpointing=True,
+            ),
+        )
+
+    def save(self, step: int, state) -> None:
+        self._mngr.save(step, args=ocp.args.StandardSave(state))
+
+    def restore(self, state_template, step: Optional[int] = None):
+        """Restore into the structure of ``state_template`` (a concrete state
+        built the same way as at first init). Returns None if no checkpoint."""
+        target = step if step is not None else self._mngr.latest_step()
+        if target is None:
+            return None
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
+        return self._mngr.restore(target, args=ocp.args.StandardRestore(abstract))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def wait(self) -> None:
+        self._mngr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mngr.wait_until_finished()
+        self._mngr.close()

@@ -1,0 +1,163 @@
+"""Command-line entry points (rebuild of the reference's top-level run
+scripts, SURVEY.md §2.1 #1/#10/#11):
+
+    python -m triplegan_tpu.cli train   --config cifar10_4k [--workdir ...]
+    python -m triplegan_tpu.cli eval    --config cifar10_4k --workdir ...
+    python -m triplegan_tpu.cli sample  --config cifar10_4k --workdir ... --out grid.png
+    python -m triplegan_tpu.cli prepare --dataset cifar10 --raw-dir ... --data-dir ...
+
+Overrides: ``--set key=value`` (repeatable) mutates any config field, e.g.
+``--set batch_size=256 --set compute_dtype=bfloat16``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import os
+import sys
+
+
+def _apply_overrides(cfg, overrides):
+    for kv in overrides or []:
+        key, _, raw = kv.partition("=")
+        try:
+            val = ast.literal_eval(raw)
+        except (SyntaxError, ValueError):
+            val = raw
+        node = cfg
+        *parents, leaf = key.split(".")
+        for p in parents:
+            if p not in node:
+                sys.exit(f"unknown config key '{key}' (no section '{p}')")
+            node = node[p]
+        if leaf not in node:
+            sys.exit(
+                f"unknown config key '{key}'; valid keys in this section: "
+                f"{sorted(node.keys())}"
+            )
+        node[leaf] = val
+    return cfg
+
+
+def _load_cfg(args):
+    from triplegan_tpu.configs import get_config
+
+    cfg = get_config(args.config)
+    if getattr(args, "workdir", None):
+        cfg.workdir = args.workdir
+    if getattr(args, "data_dir", None):
+        cfg.data_dir = args.data_dir
+    return _apply_overrides(cfg, getattr(args, "set", None))
+
+
+def cmd_train(args):
+    from triplegan_tpu.train.loop import train
+
+    result = train(_load_cfg(args), max_steps=args.max_steps)
+    print(f"done: step={result['steps']} test_error={100 * result['test_error']:.2f}%")
+
+
+def cmd_eval(args):
+    import jax
+
+    from triplegan_tpu.ckpt import CheckpointManager
+    from triplegan_tpu.configs.base import make_networks
+    from triplegan_tpu.data.pipeline import BatchSampler
+    from triplegan_tpu.eval.metrics import evaluate_error
+    from triplegan_tpu.train.loop import _resolve_data, _resolve_zca
+    from triplegan_tpu.train.schedule import make_optimizers
+    from triplegan_tpu.train.state import create_state
+    from triplegan_tpu.train.step import make_eval_step
+
+    cfg = _load_cfg(args)
+    workdir = os.path.join(cfg.workdir, cfg.name)
+    data = _resolve_data(cfg)
+    zca = _resolve_zca(cfg, data, workdir)
+    nets = make_networks(cfg)
+    state = create_state(cfg, nets, make_optimizers(cfg, 1))
+    ckpt = CheckpointManager(os.path.join(workdir, "ckpt"))
+    restored = ckpt.restore(state)
+    if restored is None:
+        sys.exit(f"no checkpoint under {workdir}/ckpt")
+    eval_step = jax.jit(make_eval_step(cfg, nets, zca))
+    sampler = BatchSampler(data, cfg.batch_size, seed=cfg.seed)
+    err = evaluate_error(eval_step, restored, sampler.test_batches())
+    print(f"test error: {100 * err:.2f}%")
+
+
+def cmd_sample(args):
+    from triplegan_tpu.ckpt import CheckpointManager
+    from triplegan_tpu.configs.base import make_networks
+    from triplegan_tpu.eval.sample import (
+        class_grid_inputs,
+        make_sample_fn,
+        save_png,
+        to_uint8_grid,
+    )
+    from triplegan_tpu.train.schedule import make_optimizers
+    from triplegan_tpu.train.state import create_state
+
+    cfg = _load_cfg(args)
+    workdir = os.path.join(cfg.workdir, cfg.name)
+    nets = make_networks(cfg)
+    state = create_state(cfg, nets, make_optimizers(cfg, 1))
+    ckpt = CheckpointManager(os.path.join(workdir, "ckpt"))
+    restored = ckpt.restore(state)
+    if restored is None:
+        sys.exit(f"no checkpoint under {workdir}/ckpt")
+    z, labels = class_grid_inputs(cfg, n_per_class=args.n_per_class, seed=args.seed)
+    sample_fn = make_sample_fn(cfg, nets)
+    grid = to_uint8_grid(sample_fn(restored, z, labels), cfg.num_classes, args.n_per_class)
+    save_png(grid, args.out)
+    print(f"wrote {args.out}")
+
+
+def cmd_prepare(args):
+    from triplegan_tpu.data.prepare import prepare
+
+    prepare(args.dataset, args.raw_dir, args.data_dir)
+    print(f"prepared {args.dataset} → {args.data_dir}/{args.dataset}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="triplegan_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--config", required=True)
+        sp.add_argument("--workdir", default=None)
+        sp.add_argument("--data-dir", default=None)
+        sp.add_argument("--set", action="append", metavar="KEY=VALUE")
+
+    sp = sub.add_parser("train", help="train a Triple-GAN")
+    common(sp)
+    sp.add_argument("--max-steps", type=int, default=None)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("eval", help="classifier test error from a checkpoint")
+    common(sp)
+    sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("sample", help="class-conditional sample grid")
+    common(sp)
+    sp.add_argument("--out", default="samples.png")
+    sp.add_argument("--n-per-class", type=int, default=10)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser("prepare", help="convert raw dataset files to npz shards")
+    sp.add_argument("--dataset", required=True)
+    sp.add_argument("--raw-dir", required=True)
+    sp.add_argument("--data-dir", required=True)
+    sp.set_defaults(fn=cmd_prepare)
+
+    args = p.parse_args(argv)
+    from triplegan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

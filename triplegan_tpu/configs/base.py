@@ -1,0 +1,138 @@
+"""Base hyperparameter config (rebuild of the reference's ``config.py``).
+
+Reference parity (SURVEY.md §2.1 #1): the reference uses a Python ``Config``
+class of UPPERCASE attributes with per-dataset subclasses and a ``display()``
+dump. Here: an ``ml_collections.ConfigDict`` built per dataset by
+``triplegan_tpu.configs.get_config(name)``; ``display(cfg)`` pretty-prints.
+
+Default constants follow SURVEY.md Appendix A's training schedule: Adam
+(β1 = 0.5), lr 3e-4 for all players, batch 100 per stream, α = 1/2, linear lr
+decay over the final epochs, pseudo-discriminative term α_P ramped in after a
+warm-up.
+"""
+
+from __future__ import annotations
+
+import ml_collections
+
+
+def base_config() -> ml_collections.ConfigDict:
+    cfg = ml_collections.ConfigDict()
+
+    # --- experiment identity / paths -------------------------------------
+    cfg.name = "base"
+    cfg.seed = 0
+    cfg.data_dir = "/tmp/triplegan_data"      # directory of prepared .npz shards
+    cfg.workdir = "/tmp/triplegan_runs"       # checkpoints + metrics
+
+    # --- dataset ----------------------------------------------------------
+    cfg.dataset = "cifar10"
+    cfg.image_size = 32
+    cfg.channels = 3
+    cfg.num_classes = 10
+    cfg.num_labeled = 4000                    # size of the labeled subset
+    cfg.zca = True                            # ZCA-whiten inputs to C and D
+    cfg.rescale = True                        # map pixels to [-1, 1]
+    cfg.aug_translate = 2                     # random translate-crop radius (px)
+    cfg.aug_flip = True                       # random horizontal flip
+
+    # --- networks (SURVEY.md Appendix B) ----------------------------------
+    cfg.z_dim = 100
+    cfg.bn_momentum = 0.99
+    cfg.gen = ml_collections.ConfigDict()
+    cfg.gen.widths = (512, 256, 128)
+    cfg.gen.kernel = 5
+
+    cfg.disc = ml_collections.ConfigDict()
+    cfg.disc.widths = (32, 32, 64, 64, 128, 128)
+    cfg.disc.strides = (1, 2, 1, 2, 1, 2)
+    cfg.disc.input_noise = 0.05
+    cfg.disc.input_dropout = 0.2
+    cfg.disc.block_dropout = 0.2
+
+    cfg.clf = ml_collections.ConfigDict()
+    cfg.clf.conv_blocks = ((128, 128, 128), (256, 256, 256))
+    cfg.clf.tail = (512, 256, 128)
+    cfg.clf.input_noise = 0.15
+    cfg.clf.block_dropout = 0.5
+
+    # --- three-player objective (SURVEY.md Appendix A) --------------------
+    cfg.alpha = 0.5                           # C-fake weight in the minimax
+    cfg.alpha_p = 0.1                         # pseudo-discriminative weight α_P
+    cfg.alpha_p_warmup_epochs = 200           # R_P off until this epoch
+    cfg.non_saturating_g = True               # -log D(G) heuristic for L_G
+
+    # --- optimization ------------------------------------------------------
+    cfg.batch_size = 100                      # per stream (labeled/unlabeled/gen)
+    cfg.epochs = 1000
+    cfg.steps_per_epoch = 0                   # 0 → derived from dataset size
+    cfg.lr_g = 3e-4
+    cfg.lr_d = 3e-4
+    cfg.lr_c = 3e-4
+    cfg.adam_b1 = 0.5
+    cfg.adam_b2 = 0.999
+    cfg.adam_eps = 1e-8
+    cfg.lr_decay_start_frac = 0.5             # linear decay over final half
+
+    # --- execution ---------------------------------------------------------
+    cfg.compute_dtype = "float32"             # "bfloat16" for throughput runs
+    cfg.use_pallas = False                    # fused Pallas epilogues
+    cfg.mesh_shape = (1,)                     # data-parallel mesh over ICI
+    cfg.log_every = 100
+    cfg.eval_every_epochs = 1
+    cfg.ckpt_every_epochs = 10
+    cfg.ckpt_keep = 3
+
+    return cfg
+
+
+def display(cfg: ml_collections.ConfigDict) -> str:
+    """Reference's ``Config.display()`` equivalent — a readable dump."""
+    lines = ["Configuration:"]
+    for k in sorted(cfg.keys()):
+        v = cfg[k]
+        if isinstance(v, ml_collections.ConfigDict):
+            for kk in sorted(v.keys()):
+                lines.append(f"  {k}.{kk:<24} {v[kk]}")
+        else:
+            lines.append(f"  {k:<26} {v}")
+    return "\n".join(lines)
+
+
+def make_networks(cfg: ml_collections.ConfigDict):
+    """Build the (Generator, Discriminator, Classifier) specs from a config."""
+    from triplegan_tpu.nn.networks import Classifier, Discriminator, Generator
+
+    gen = Generator(
+        image_size=cfg.image_size,
+        channels=cfg.channels,
+        num_classes=cfg.num_classes,
+        z_dim=cfg.z_dim,
+        widths=tuple(cfg.gen.widths),
+        kernel=cfg.gen.kernel,
+        bn_momentum=cfg.bn_momentum,
+        use_pallas=cfg.use_pallas,
+    )
+    disc = Discriminator(
+        image_size=cfg.image_size,
+        channels=cfg.channels,
+        num_classes=cfg.num_classes,
+        widths=tuple(cfg.disc.widths),
+        strides=tuple(cfg.disc.strides),
+        input_noise=cfg.disc.input_noise,
+        input_dropout=cfg.disc.input_dropout,
+        block_dropout=cfg.disc.block_dropout,
+        use_pallas=cfg.use_pallas,
+    )
+    clf = Classifier(
+        image_size=cfg.image_size,
+        channels=cfg.channels,
+        num_classes=cfg.num_classes,
+        conv_blocks=tuple(tuple(b) for b in cfg.clf.conv_blocks),
+        tail=tuple(cfg.clf.tail),
+        input_noise=cfg.clf.input_noise,
+        block_dropout=cfg.clf.block_dropout,
+        bn_momentum=cfg.bn_momentum,
+        use_pallas=cfg.use_pallas,
+    )
+    return gen, disc, clf

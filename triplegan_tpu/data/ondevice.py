@@ -1,0 +1,78 @@
+"""On-device input transforms — run *inside* the compiled train step.
+
+Reference parity (SURVEY.md §2.1 #3): the reference's tf.data pipeline does
+parse → normalize (ZCA / rescale) → augment (random translate-crop +
+horizontal flip) → batch on host CPU threads. TPU-native redesign: the host
+ships raw uint8 batches; everything else happens on device under jit where
+XLA fuses it into the step — zero extra HBM round-trips, and the host↔device
+transfer is 4× smaller (uint8 vs f32).
+
+All transforms are static-shape and vectorized (no per-example Python), so
+they compile once and ride the VPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from triplegan_tpu.data.zca import apply_zca
+
+
+def rescale(x_uint8: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """uint8 [0,255] → dtype [-1, 1]."""
+    return x_uint8.astype(dtype) / 127.5 - 1.0
+
+
+def random_flip(key: jax.Array, x: jax.Array) -> jax.Array:
+    """Per-example random horizontal flip. x: (N, H, W, C)."""
+    flip = jax.random.bernoulli(key, 0.5, (x.shape[0],))
+    return jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+
+
+def random_translate(key: jax.Array, x: jax.Array, radius: int) -> jax.Array:
+    """Per-example random translate by up to ±radius px (reflect-pad + crop).
+
+    The reference's "random crop/translate" augmentation [B]. Implemented as
+    a single gather over a padded tensor — static shapes, vmap-free batch
+    indexing, XLA-friendly.
+    """
+    if radius <= 0:
+        return x
+    n, h, w, c = x.shape
+    pad = radius
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    kx, ky = jax.random.split(key)
+    off_y = jax.random.randint(ky, (n,), 0, 2 * pad + 1)
+    off_x = jax.random.randint(kx, (n,), 0, 2 * pad + 1)
+    rows = off_y[:, None] + jnp.arange(h)[None, :]          # (N, H)
+    cols = off_x[:, None] + jnp.arange(w)[None, :]          # (N, W)
+    batch = jnp.arange(n)[:, None, None]
+    # Gather (N, H, W, C) from padded (N, H+2p, W+2p, C).
+    return xp[batch, rows[:, :, None], cols[:, None, :], :]
+
+
+def standard_pipeline(
+    key: Optional[jax.Array],
+    x_uint8: jax.Array,
+    *,
+    translate: int = 0,
+    flip: bool = False,
+    zca_mean: Optional[jax.Array] = None,
+    zca_whiten: Optional[jax.Array] = None,
+    train: bool = True,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """rescale → (augment if train) → (ZCA if stats given)."""
+    x = rescale(x_uint8, dtype)
+    if train and key is not None:
+        kt, kf = jax.random.split(key)
+        if translate > 0:
+            x = random_translate(kt, x, translate)
+        if flip:
+            x = random_flip(kf, x)
+    if zca_mean is not None and zca_whiten is not None:
+        x = apply_zca(x, zca_mean, zca_whiten)
+    return x

@@ -1,0 +1,169 @@
+"""Dataset preparation tool (rebuild of the reference's TFRecord converters,
+SURVEY.md §2.1 #2, §3.1): raw dataset files → ``{data_dir}/{name}/train.npz``
++ ``test.npz`` (uint8 NHWC images, int32 labels), plus cached ZCA statistics
+for CIFAR-10.
+
+This environment has no network (SURVEY.md §7), so downloading is a
+separate, optional concern: ``prepare(name, raw_dir, out_dir)`` converts raw
+files that are already on disk (the standard distribution formats: MNIST idx,
+CIFAR-10 python pickles, SVHN .mat, STL-10 binaries). The runtime data layer
+only ever sees the .npz interface.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import pickle
+import struct
+from typing import Tuple
+
+import numpy as np
+
+
+def _save(out_dir: str, name: str, split: str, images: np.ndarray, labels: np.ndarray):
+    d = os.path.join(out_dir, name)
+    os.makedirs(d, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(d, f"{split}.npz"),
+        images=np.ascontiguousarray(images, dtype=np.uint8),
+        labels=np.asarray(labels, dtype=np.int32),
+    )
+
+
+def _open_maybe_gz(path: str):
+    if os.path.exists(path + ".gz"):
+        return gzip.open(path + ".gz", "rb")
+    return open(path, "rb")
+
+
+# ---------------------------------------------------------------------------
+# MNIST (idx format)
+# ---------------------------------------------------------------------------
+
+
+def _read_idx_images(path: str) -> np.ndarray:
+    with _open_maybe_gz(path) as f:
+        magic, n, rows, cols = struct.unpack(">IIII", f.read(16))
+        assert magic == 2051, f"bad idx image magic {magic}"
+        data = np.frombuffer(f.read(), dtype=np.uint8)
+    return data.reshape(n, rows, cols, 1)
+
+
+def _read_idx_labels(path: str) -> np.ndarray:
+    with _open_maybe_gz(path) as f:
+        magic, n = struct.unpack(">II", f.read(8))
+        assert magic == 2049, f"bad idx label magic {magic}"
+        data = np.frombuffer(f.read(), dtype=np.uint8)
+    return data.astype(np.int32)
+
+
+def prepare_mnist(raw_dir: str, out_dir: str) -> None:
+    x_tr = _read_idx_images(os.path.join(raw_dir, "train-images-idx3-ubyte"))
+    y_tr = _read_idx_labels(os.path.join(raw_dir, "train-labels-idx1-ubyte"))
+    x_te = _read_idx_images(os.path.join(raw_dir, "t10k-images-idx3-ubyte"))
+    y_te = _read_idx_labels(os.path.join(raw_dir, "t10k-labels-idx1-ubyte"))
+    _save(out_dir, "mnist", "train", x_tr, y_tr)
+    _save(out_dir, "mnist", "test", x_te, y_te)
+
+
+# ---------------------------------------------------------------------------
+# CIFAR-10 (python pickle batches)
+# ---------------------------------------------------------------------------
+
+
+def _read_cifar_batch(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    with open(path, "rb") as f:
+        d = pickle.load(f, encoding="bytes")
+    x = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    y = np.asarray(d[b"labels"], dtype=np.int32)
+    return x, y
+
+
+def prepare_cifar10(raw_dir: str, out_dir: str, fit_zca_stats: bool = True) -> None:
+    bdir = os.path.join(raw_dir, "cifar-10-batches-py")
+    if not os.path.isdir(bdir):
+        bdir = raw_dir
+    xs, ys = [], []
+    for i in range(1, 6):
+        x, y = _read_cifar_batch(os.path.join(bdir, f"data_batch_{i}"))
+        xs.append(x)
+        ys.append(y)
+    x_tr, y_tr = np.concatenate(xs), np.concatenate(ys)
+    x_te, y_te = _read_cifar_batch(os.path.join(bdir, "test_batch"))
+    _save(out_dir, "cifar10", "train", x_tr, y_tr)
+    _save(out_dir, "cifar10", "test", x_te, y_te)
+    if fit_zca_stats:
+        from triplegan_tpu.data.zca import fit_zca
+
+        stats = fit_zca(x_tr)
+        stats.save(os.path.join(out_dir, "cifar10", "zca_stats.npz"))
+
+
+# ---------------------------------------------------------------------------
+# SVHN (.mat cropped-digits format)
+# ---------------------------------------------------------------------------
+
+
+def prepare_svhn(raw_dir: str, out_dir: str) -> None:
+    from scipy.io import loadmat
+
+    def read(split):
+        m = loadmat(os.path.join(raw_dir, f"{split}_32x32.mat"))
+        x = m["X"].transpose(3, 0, 1, 2)  # HWCN → NHWC
+        y = m["y"].reshape(-1).astype(np.int32)
+        y[y == 10] = 0  # SVHN labels digit 0 as class 10
+        return x, y
+
+    x_tr, y_tr = read("train")
+    x_te, y_te = read("test")
+    _save(out_dir, "svhn", "train", x_tr, y_tr)
+    _save(out_dir, "svhn", "test", x_te, y_te)
+
+
+# ---------------------------------------------------------------------------
+# STL-10 (binary format)
+# ---------------------------------------------------------------------------
+
+
+def prepare_stl10(raw_dir: str, out_dir: str) -> None:
+    bdir = os.path.join(raw_dir, "stl10_binary")
+    if not os.path.isdir(bdir):
+        bdir = raw_dir
+
+    def read_images(path):
+        with open(path, "rb") as f:
+            data = np.frombuffer(f.read(), dtype=np.uint8)
+        return data.reshape(-1, 3, 96, 96).transpose(0, 3, 2, 1)  # CWH → NHWC
+
+    def read_labels(path):
+        with open(path, "rb") as f:
+            return (np.frombuffer(f.read(), dtype=np.uint8).astype(np.int32) - 1)
+
+    x_tr = read_images(os.path.join(bdir, "train_X.bin"))
+    y_tr = read_labels(os.path.join(bdir, "train_y.bin"))
+    x_te = read_images(os.path.join(bdir, "test_X.bin"))
+    y_te = read_labels(os.path.join(bdir, "test_y.bin"))
+    # STL-10's 100k unlabeled images live in unlabeled_X.bin; fold them into
+    # the train images with label -1 when present.
+    unl = os.path.join(bdir, "unlabeled_X.bin")
+    if os.path.exists(unl):
+        x_u = read_images(unl)
+        x_tr = np.concatenate([x_tr, x_u])
+        y_tr = np.concatenate([y_tr, np.full((len(x_u),), -1, np.int32)])
+    _save(out_dir, "stl10", "train", x_tr, y_tr)
+    _save(out_dir, "stl10", "test", x_te, y_te)
+
+
+PREPARERS = {
+    "mnist": prepare_mnist,
+    "cifar10": prepare_cifar10,
+    "svhn": prepare_svhn,
+    "stl10": prepare_stl10,
+}
+
+
+def prepare(name: str, raw_dir: str, out_dir: str) -> None:
+    if name not in PREPARERS:
+        raise KeyError(f"unknown dataset '{name}'; available: {sorted(PREPARERS)}")
+    PREPARERS[name](raw_dir, out_dir)

@@ -1,0 +1,455 @@
+"""Pure-functional layer helpers (the rebuild of the reference's layer base).
+
+Reference parity (SURVEY.md §2.1 #4 — ``Model/model_base.py`` [T]): the
+reference exposes graph-builder helpers ``_conv2d``, ``_deconv2d``, ``_dense``,
+``_batch_norm``, ``_weight_norm``, ``_gaussian_noise``, ``_dropout``,
+``_leaky_relu``. Here each helper is an ``<layer>_init(key, ...) -> params``
+plus ``<layer>_apply(params, x, ...) -> y`` pair over plain-dict pytrees, so
+everything composes with jax transforms (jit / grad / shard_map / vmap).
+
+TPU-first notes:
+  * layouts are NHWC with channels last (lane dimension) so XLA tiles convs
+    onto the MXU without transposes;
+  * batch-norm supports a cross-device ``axis_name`` psum so a data-parallel
+    step reproduces single-device global-batch statistics exactly (sync-BN);
+  * weight normalization (w = g * v / ||v||) is folded into the kernel before
+    the conv, so the MXU sees an ordinary conv — the normalization itself is
+    a tiny per-output-channel reduction XLA fuses away.
+
+Numerical conventions match the TF-1.x reference semantics:
+  * ``SAME`` padding for stride-2 conv/deconv (TF ``conv2d_transpose`` SAME:
+    out = in * stride);
+  * batch-norm defaults momentum=0.99, eps=1e-3 (``tf.layers.batch_normalization``
+    defaults the reference would inherit).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+
+def _normal(key: jax.Array, shape: Sequence[int], stddev: float) -> jax.Array:
+    return stddev * jax.random.normal(key, tuple(shape), dtype=jnp.float32)
+
+
+def he_normal(key: jax.Array, shape: Sequence[int], fan_in: int) -> jax.Array:
+    return _normal(key, shape, math.sqrt(2.0 / max(fan_in, 1)))
+
+
+# ---------------------------------------------------------------------------
+# Weight normalization  (Salimans & Kingma 2016) — reference's `_weight_norm`
+# ---------------------------------------------------------------------------
+
+
+def _wn_kernel(v: jax.Array, g: jax.Array, reduce_axes: Tuple[int, ...]) -> jax.Array:
+    """w = g * v / ||v||, per output channel (last axis of v)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=reduce_axes, keepdims=True) + 1e-12)
+    return v * (g / jnp.squeeze(norm, axis=reduce_axes))
+
+
+# ---------------------------------------------------------------------------
+# Dense
+# ---------------------------------------------------------------------------
+
+
+def dense_init(
+    key: jax.Array,
+    in_dim: int,
+    out_dim: int,
+    *,
+    weight_norm: bool = False,
+    w_std: float = 0.05,
+    use_bias: bool = True,
+) -> Params:
+    v = _normal(key, (in_dim, out_dim), w_std)
+    p: Params = {}
+    if weight_norm:
+        p["v"] = v
+        p["g"] = jnp.ones((out_dim,), jnp.float32)
+    else:
+        p["w"] = v
+    if use_bias:
+        p["b"] = jnp.zeros((out_dim,), jnp.float32)
+    return p
+
+
+def dense_apply(p: Params, x: jax.Array) -> jax.Array:
+    if "v" in p:
+        w = _wn_kernel(p["v"], p["g"], (0,))
+    else:
+        w = p["w"]
+    # The MXU accumulates bf16 matmuls in f32 internally; output rounds to
+    # the compute dtype once. (An explicit f32 preferred_element_type would
+    # break the bf16 backward pass: the transposed op would mix dtypes.)
+    y = jnp.dot(x, w.astype(x.dtype))
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Conv2D (NHWC, HWIO)  — reference's `_conv2d`
+# ---------------------------------------------------------------------------
+
+_CONV_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d_init(
+    key: jax.Array,
+    in_ch: int,
+    out_ch: int,
+    *,
+    kernel: int = 3,
+    weight_norm: bool = False,
+    w_std: float = 0.05,
+    use_bias: bool = True,
+) -> Params:
+    shape = (kernel, kernel, in_ch, out_ch)
+    v = _normal(key, shape, w_std)
+    p: Params = {}
+    if weight_norm:
+        p["v"] = v
+        p["g"] = jnp.ones((out_ch,), jnp.float32)
+    else:
+        p["w"] = v
+    if use_bias:
+        p["b"] = jnp.zeros((out_ch,), jnp.float32)
+    return p
+
+
+def conv2d_apply(
+    p: Params,
+    x: jax.Array,
+    *,
+    stride: int = 1,
+    padding: str = "SAME",
+) -> jax.Array:
+    if "v" in p:
+        w = _wn_kernel(p["v"], p["g"], (0, 1, 2))
+    else:
+        w = p["w"]
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, _CONV_DIMS)
+    y = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=dn,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Transposed Conv2D — reference's `_deconv2d` (TF conv2d_transpose SAME)
+# ---------------------------------------------------------------------------
+
+
+def deconv2d_init(
+    key: jax.Array,
+    in_ch: int,
+    out_ch: int,
+    *,
+    kernel: int = 5,
+    weight_norm: bool = False,
+    w_std: float = 0.05,
+    use_bias: bool = True,
+) -> Params:
+    # HWIO with I = in_ch of the *forward* (transposed) op.
+    shape = (kernel, kernel, in_ch, out_ch)
+    v = _normal(key, shape, w_std)
+    p: Params = {}
+    if weight_norm:
+        p["v"] = v
+        p["g"] = jnp.ones((out_ch,), jnp.float32)
+    else:
+        p["w"] = v
+    if use_bias:
+        p["b"] = jnp.zeros((out_ch,), jnp.float32)
+    return p
+
+
+def deconv2d_apply(
+    p: Params,
+    x: jax.Array,
+    *,
+    stride: int = 2,
+) -> jax.Array:
+    """TF-semantics `conv2d_transpose` with SAME padding: out = in * stride.
+
+    Implemented as `lax.conv_transpose`, which XLA lowers to an input-dilated
+    conv on the MXU.
+    """
+    if "v" in p:
+        w = _wn_kernel(p["v"], p["g"], (0, 1, 2))
+    else:
+        w = p["w"]
+    y = lax.conv_transpose(
+        x,
+        w.astype(x.dtype),
+        strides=(stride, stride),
+        padding="SAME",
+        dimension_numbers=_CONV_DIMS,
+        transpose_kernel=False,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Batch normalization — reference's `_batch_norm`
+# ---------------------------------------------------------------------------
+
+
+def batchnorm_init(num_features: int) -> Tuple[Params, State]:
+    params = {
+        "scale": jnp.ones((num_features,), jnp.float32),
+        "bias": jnp.zeros((num_features,), jnp.float32),
+    }
+    state = {
+        "mean": jnp.zeros((num_features,), jnp.float32),
+        "var": jnp.ones((num_features,), jnp.float32),
+    }
+    return params, state
+
+
+def batchnorm_apply(
+    p: Params,
+    s: State,
+    x: jax.Array,
+    *,
+    train: bool,
+    momentum: float = 0.99,
+    eps: float = 1e-3,
+    axis_name: Optional[str] = None,
+) -> Tuple[jax.Array, State]:
+    """BN over all axes but the last (channel) axis.
+
+    With ``axis_name`` set (inside shard_map/pmap), moments are psum-averaged
+    across the mesh axis so the data-parallel step reproduces single-device
+    global-batch statistics bit-for-bit in expectation (sync-BN) — this is
+    what makes `sharded step == single-device step` testable (SURVEY.md §4.6).
+    """
+    reduce_axes = tuple(range(x.ndim - 1))
+    if train:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=reduce_axes)
+        mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
+        if axis_name is not None:
+            mean = lax.pmean(mean, axis_name)
+            mean_sq = lax.pmean(mean_sq, axis_name)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        new_s = {
+            "mean": momentum * s["mean"] + (1.0 - momentum) * mean,
+            "var": momentum * s["var"] + (1.0 - momentum) * var,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        new_s = s
+    inv = lax.rsqrt(var + eps) * p["scale"]
+    y = (x.astype(jnp.float32) - mean) * inv + p["bias"]
+    return y.astype(x.dtype), new_s
+
+
+# ---------------------------------------------------------------------------
+# Stochastic layers — reference's `_gaussian_noise` / `_dropout`
+# ---------------------------------------------------------------------------
+
+
+def gaussian_noise(key: Optional[jax.Array], x: jax.Array, sigma: float, *, train: bool) -> jax.Array:
+    if not train or sigma <= 0.0 or key is None:
+        return x
+    return x + sigma * jax.random.normal(key, x.shape, dtype=x.dtype)
+
+
+def dropout(key: Optional[jax.Array], x: jax.Array, rate: float, *, train: bool) -> jax.Array:
+    if not train or rate <= 0.0 or key is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, p=keep, shape=x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+# ---------------------------------------------------------------------------
+# Activations / pooling — reference's `_leaky_relu` etc.
+# ---------------------------------------------------------------------------
+
+
+def leaky_relu(x: jax.Array, slope: float = 0.2) -> jax.Array:
+    return jnp.where(x >= 0, x, slope * x)
+
+
+# ---------------------------------------------------------------------------
+# Fused epilogues (Pallas when enabled — SURVEY.md §2.2 north-star kernels)
+# ---------------------------------------------------------------------------
+
+
+def _apply_act(x: jax.Array, act: Optional[str], slope: float) -> jax.Array:
+    if act is None or act == "linear":
+        return x
+    if act == "relu":
+        return jax.nn.relu(x)
+    if act == "leaky_relu":
+        return leaky_relu(x, slope)
+    if act == "tanh":
+        return jnp.tanh(x)
+    raise ValueError(f"unknown act {act!r}")
+
+
+def _scale_bias_act(x, k, b, act, slope, use_pallas):
+    """Per-channel affine + activation: Pallas fused kernel when requested
+    (interpreted off-TPU so tests run anywhere), plain XLA otherwise."""
+    if use_pallas:
+        from triplegan_tpu.ops.pallas_fused import scale_bias_act
+
+        interpret = jax.default_backend() != "tpu"
+        return scale_bias_act(x, k, b, act or "linear", slope, interpret)
+    return _apply_act(x * k + b, act, slope).astype(x.dtype)
+
+
+def batchnorm_act_apply(
+    p: Params,
+    s: State,
+    x: jax.Array,
+    *,
+    train: bool,
+    act: Optional[str] = None,
+    slope: float = 0.1,
+    momentum: float = 0.99,
+    eps: float = 1e-3,
+    axis_name: Optional[str] = None,
+    use_pallas: bool = False,
+) -> Tuple[jax.Array, State]:
+    """Batch-norm folded to per-channel affine + fused activation:
+    y = act(x·k + b), k = scale·rsqrt(var+eps), b = bias − mean·k.
+    Same moment/running-stat semantics as ``batchnorm_apply``."""
+    reduce_axes = tuple(range(x.ndim - 1))
+    if train:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=reduce_axes)
+        mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
+        if axis_name is not None:
+            mean = lax.pmean(mean, axis_name)
+            mean_sq = lax.pmean(mean_sq, axis_name)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        new_s = {
+            "mean": momentum * s["mean"] + (1.0 - momentum) * mean,
+            "var": momentum * s["var"] + (1.0 - momentum) * var,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        new_s = s
+    k = p["scale"] * lax.rsqrt(var + eps)
+    b = p["bias"] - mean * k
+    y = _scale_bias_act(x, k.astype(x.dtype), b.astype(x.dtype), act, slope, use_pallas)
+    return y, new_s
+
+
+def conv2d_wn_act_apply(
+    p: Params,
+    x: jax.Array,
+    *,
+    stride: int = 1,
+    padding: str = "SAME",
+    act: Optional[str] = None,
+    slope: float = 0.2,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Weight-norm conv with the normalization as a fused epilogue.
+
+    conv(x, v·g/‖v‖) ≡ conv(x, v)·(g/‖v‖) per output channel (convolution is
+    linear in the kernel), so the MXU runs the raw-v conv and the Pallas
+    epilogue applies scale+bias+activation in one VMEM pass — the north-star
+    "conv + weight-norm (+BN) + leaky-ReLU" fusion [B].
+    """
+    if "v" not in p or not use_pallas:
+        y = conv2d_apply(p, x, stride=stride, padding=padding)
+        return _apply_act(y, act, slope)
+    v, g = p["v"], p["g"]
+    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1, 2)) + 1e-12)
+    k = (g / norm).astype(x.dtype)
+    b = p.get("b", jnp.zeros_like(g)).astype(x.dtype)
+    dn = lax.conv_dimension_numbers(x.shape, v.shape, _CONV_DIMS)
+    y = lax.conv_general_dilated(
+        x,
+        v.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=dn,
+    ).astype(x.dtype)
+    return _scale_bias_act(y, k, b, act, slope, True)
+
+
+def deconv2d_wn_act_apply(
+    p: Params,
+    x: jax.Array,
+    *,
+    stride: int = 2,
+    act: Optional[str] = None,
+    slope: float = 0.2,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Weight-norm transposed conv with fused epilogue (same linearity trick)
+    — the north-star "transposed-conv + weight-norm" kernel [B]."""
+    if "v" not in p or not use_pallas:
+        y = deconv2d_apply(p, x, stride=stride)
+        return _apply_act(y, act, slope)
+    v, g = p["v"], p["g"]
+    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1, 2)) + 1e-12)
+    k = (g / norm).astype(x.dtype)
+    b = p.get("b", jnp.zeros_like(g)).astype(x.dtype)
+    y = lax.conv_transpose(
+        x,
+        v.astype(x.dtype),
+        strides=(stride, stride),
+        padding="SAME",
+        dimension_numbers=_CONV_DIMS,
+        transpose_kernel=False,
+    ).astype(x.dtype)
+    return _scale_bias_act(y, k, b, act, slope, True)
+
+
+def max_pool(x: jax.Array, window: int = 2, stride: int = 2) -> jax.Array:
+    return lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        "SAME",
+    )
+
+
+def global_avg_pool(x: jax.Array) -> jax.Array:
+    return jnp.mean(x, axis=(1, 2))
+
+
+def onehot(labels: jax.Array, num_classes: int, dtype=jnp.float32) -> jax.Array:
+    return jax.nn.one_hot(labels, num_classes, dtype=dtype)
+
+
+def label_concat_spatial(x: jax.Array, y_onehot: jax.Array) -> jax.Array:
+    """Broadcast one-hot labels to spatial planes and concat on channels.
+
+    The reference's "label embedding-concat" for the discriminator input
+    (SURVEY.md Appendix A: labels broadcast-concatenated spatially for D).
+    """
+    n, h, w, _ = x.shape
+    planes = jnp.broadcast_to(
+        y_onehot[:, None, None, :].astype(x.dtype), (n, h, w, y_onehot.shape[-1])
+    )
+    return jnp.concatenate([x, planes], axis=-1)

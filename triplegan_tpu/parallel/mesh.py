@@ -1,0 +1,65 @@
+"""Mesh construction and shard_map wrappers for the three-player step.
+
+Design (SURVEY.md §2.3, §5): the models are a few M params — they fit
+per-chip many times over — so the right decomposition for a v5e-8 slice is
+pure batch (data) parallelism:
+
+  * params / optimizer / BN state: replicated (PartitionSpec()),
+  * batches: sharded on axis 0 over the "data" mesh axis,
+  * per-player gradients: ``lax.pmean`` over ICI before each Adam apply
+    (inside ``make_train_step(axis_name="data")``),
+  * batch-norm moments: ``lax.pmean`` over the same axis (sync-BN),
+
+which makes the sharded step compute exactly the single-device global-batch
+update — the property the fake-device CPU tests assert (SURVEY.md §4.6).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for host batches: split axis 0 across the data axis."""
+    return NamedSharding(mesh, P(AXIS))
+
+
+def shard_train_step(step_fn, mesh: Mesh):
+    """Wrap a ``make_train_step(..., axis_name=AXIS)`` step in shard_map+jit.
+
+    State is replicated in and out; the batch pytree is sharded on its
+    leading axis. Outputs are provably replicated (grads/metrics are pmean'd,
+    BN moments are synced), so out_specs=P() typechecks under shard_map's
+    replication checker.
+    """
+    mapped = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(mapped)
+
+
+def shard_eval_step(eval_fn, mesh: Mesh):
+    mapped = jax.shard_map(
+        eval_fn,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS)),
+        out_specs=P(),
+    )
+    return jax.jit(mapped)

@@ -1,0 +1,182 @@
+"""The training driver (rebuild of the reference's ``Train(config).train()``,
+SURVEY.md §2.1 #10, §3.2): build everything, restore-if-checkpoint, epoch
+loop over the compiled three-player step, periodic metrics/eval/samples/
+checkpoints.
+
+The hot loop does no per-step host work beyond pulling the next prefetched
+batch: the step is one XLA executable; metrics are device arrays fetched
+only at log intervals.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from triplegan_tpu.ckpt import CheckpointManager
+from triplegan_tpu.configs.base import display, make_networks
+from triplegan_tpu.data.datasets import SemiSupervisedData, load_dataset, synthetic_dataset
+from triplegan_tpu.data.pipeline import BatchSampler, device_prefetch
+from triplegan_tpu.data.zca import ZCAStats, fit_zca
+from triplegan_tpu.eval.metrics import evaluate_error
+from triplegan_tpu.eval.sample import class_grid_inputs, make_sample_fn, to_uint8_grid, save_png
+from triplegan_tpu.parallel import mesh as pmesh
+from triplegan_tpu.train.schedule import make_optimizers
+from triplegan_tpu.train.state import create_state, param_count
+from triplegan_tpu.train.step import make_eval_step, make_train_step
+from triplegan_tpu.utils.logging import MetricsLogger
+
+
+def _resolve_data(cfg) -> SemiSupervisedData:
+    if cfg.dataset == "synthetic":
+        return synthetic_dataset(
+            image_size=cfg.image_size,
+            channels=cfg.channels,
+            num_classes=cfg.num_classes,
+            num_labeled=cfg.num_labeled,
+            seed=cfg.seed,
+        )
+    return load_dataset(
+        cfg.data_dir, cfg.dataset, cfg.num_labeled, cfg.num_classes, cfg.seed
+    )
+
+
+def _resolve_zca(cfg, data: SemiSupervisedData, workdir: str) -> Optional[ZCAStats]:
+    if not cfg.zca:
+        return None
+    cache = os.path.join(workdir, "zca_stats.npz")
+    if os.path.exists(cache):
+        return ZCAStats.load(cache)
+    stats = fit_zca(data.x_unlabel)
+    os.makedirs(workdir, exist_ok=True)
+    stats.save(cache)
+    return stats
+
+
+def train(
+    cfg,
+    data: Optional[SemiSupervisedData] = None,
+    max_steps: Optional[int] = None,
+    verbose: bool = True,
+):
+    """Full training run; returns a summary dict. ``max_steps`` caps total
+    steps for smoke tests without changing schedule constants."""
+    workdir = os.path.join(cfg.workdir, cfg.name)
+    os.makedirs(workdir, exist_ok=True)
+    logger = MetricsLogger(workdir)
+    if verbose:
+        print(display(cfg))
+
+    if data is None:
+        data = _resolve_data(cfg)
+    zca = _resolve_zca(cfg, data, workdir)
+
+    steps_per_epoch = int(cfg.steps_per_epoch) or max(
+        len(data.x_unlabel) // cfg.batch_size, 1
+    )
+    total_steps = int(cfg.epochs) * steps_per_epoch
+
+    nets = make_networks(cfg)
+    optimizers = make_optimizers(cfg, total_steps)
+    state = create_state(cfg, nets, optimizers)
+    if verbose:
+        print("param counts:", param_count(state))
+
+    n_dev = int(np.prod(cfg.mesh_shape))
+    if cfg.batch_size % max(n_dev, 1) != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must divide evenly over the "
+            f"{n_dev}-device data mesh"
+        )
+    train_step_fn = make_train_step(
+        cfg, nets, optimizers, total_steps, zca,
+        axis_name=pmesh.AXIS if n_dev > 1 else None,
+    )
+    eval_step_fn = make_eval_step(
+        cfg, nets, zca, axis_name=pmesh.AXIS if n_dev > 1 else None
+    )
+    sharding = None
+    if n_dev > 1:
+        mesh = pmesh.make_mesh(n_dev)
+        step = pmesh.shard_train_step(train_step_fn, mesh)
+        eval_step = pmesh.shard_eval_step(eval_step_fn, mesh)
+        sharding = pmesh.batch_sharding(mesh)
+        state = jax.device_put(
+            state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+    else:
+        step = jax.jit(train_step_fn)
+        eval_step = jax.jit(eval_step_fn)
+
+    ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), max_to_keep=cfg.ckpt_keep)
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        if verbose:
+            print(f"resumed from step {int(state.step)}")
+
+    sampler = BatchSampler(data, cfg.batch_size, seed=cfg.seed)
+    batches = device_prefetch(
+        sampler.triple_iter(cfg.z_dim, cfg.num_classes), sharding=sharding
+    )
+    sample_fn = make_sample_fn(cfg, nets)
+
+    start_step = int(state.step)
+    end_step = total_steps if max_steps is None else min(total_steps, start_step + max_steps)
+    last_metrics = {}
+    test_error = None
+    t_log = time.perf_counter()
+    for it in range(start_step, end_step):
+        batch = next(batches)
+        state, metrics = step(state, batch)
+
+        if (it + 1) % cfg.log_every == 0 or it + 1 == end_step:
+            metrics = jax.device_get(metrics)
+            last_metrics = {k: float(v) for k, v in metrics.items()}
+            dt = time.perf_counter() - t_log
+            t_log = time.perf_counter()
+            imgs_per_sec = cfg.log_every * cfg.batch_size / max(dt, 1e-9)
+            logger.scalars(it + 1, {**last_metrics, "images_per_sec": imgs_per_sec})
+            if verbose:
+                terms = " ".join(f"{k}={v:.4f}" for k, v in sorted(last_metrics.items()))
+                print(f"step {it + 1}/{total_steps} [{imgs_per_sec:.0f} img/s] {terms}")
+
+        epoch_done = (it + 1) % steps_per_epoch == 0
+        epoch = (it + 1) // steps_per_epoch
+        if epoch_done and epoch % cfg.eval_every_epochs == 0:
+            test_error = evaluate_error(eval_step, state, _test_stream(sampler, n_dev, sharding))
+            logger.scalars(it + 1, {"test_error": test_error})
+            if verbose:
+                print(f"epoch {epoch}: test error {100 * test_error:.2f}%")
+            z, labels = class_grid_inputs(cfg, n_per_class=10, seed=cfg.seed)
+            grid = to_uint8_grid(sample_fn(state, z, labels), cfg.num_classes, 10)
+            logger.image(it + 1, "samples", grid)
+            save_png(grid, os.path.join(workdir, f"samples_{it + 1:08d}.png"))
+        if epoch_done and epoch % cfg.ckpt_every_epochs == 0:
+            ckpt.save(it + 1, state)
+
+    if test_error is None:
+        test_error = evaluate_error(eval_step, state, _test_stream(sampler, n_dev, sharding))
+    ckpt.save(int(state.step), state)
+    ckpt.close()
+    logger.close()
+    return {
+        "steps": int(state.step),
+        "test_error": test_error,
+        "metrics": last_metrics,
+        "workdir": workdir,
+        "state": state,
+    }
+
+
+def _test_stream(sampler: BatchSampler, n_dev: int, sharding):
+    """Test batches, padded to a multiple of the mesh size and staged."""
+    for batch in sampler.test_batches():
+        if sharding is not None:
+            batch = jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+        yield batch

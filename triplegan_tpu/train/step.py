@@ -1,0 +1,266 @@
+"""ONE compiled three-player train step (the rebuild's hot loop).
+
+Reference parity (SURVEY.md §2.1 #9–10, §3.2): the reference's hot loop is
+three alternating ``sess.run``s per iteration — D's update is visible to G's
+loss in the same iteration, and G's and D's updates are visible to C's
+(SURVEY.md §7 hard-part 1). Here the three *sequential* sub-updates (grad →
+Adam → apply) happen **inside a single jitted function**, so the whole
+iteration is one XLA executable: no Python↔runtime boundary, no host↔device
+sync, and the on-device input transforms (rescale / augment / ZCA) fuse into
+the same program.
+
+Data-parallel execution wraps this same function in ``shard_map`` over a
+1-D "data" mesh axis: gradients are ``psum``-averaged over ICI before each
+Adam apply, and batch-norm syncs its moments over the same axis, so the
+sharded step computes exactly the single-device global-batch update
+(SURVEY.md §2.3, §4.6).
+
+Batch-norm statistics policy: each network's running stats advance exactly
+once per iteration — during its *own* player's update pass. Cross-forwards
+(e.g. G's output scored inside D's loss) run in train mode (batch statistics)
+but their running-stat updates are discarded, mirroring the TF convention of
+attaching update-ops only to the owning player's train op.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from triplegan_tpu.data import ondevice
+from triplegan_tpu.data.zca import apply_zca
+from triplegan_tpu.train import losses
+from triplegan_tpu.train.schedule import alpha_p_schedule, linear_decay_schedule
+from triplegan_tpu.train.state import TrainState
+
+
+def _compute_dtype(cfg):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+def make_train_step(
+    cfg,
+    nets,
+    optimizers,
+    total_steps: int,
+    zca_stats=None,
+    axis_name: Optional[str] = None,
+    pseudo_label_mode: str = "sample",
+):
+    """Build the jittable ``(state, batch) -> (state, metrics)`` step.
+
+    ``batch`` is the nested dict from ``BatchSampler.next_triple`` (uint8
+    images, int labels, f32 z) — per-player sub-batches, matching the
+    reference's three independent ``sess.run`` input pulls.
+    """
+    gen, disc, clf = nets
+    opt_g, opt_d, opt_c = optimizers["gen"], optimizers["disc"], optimizers["clf"]
+    alpha = float(cfg.alpha)
+    cdt = _compute_dtype(cfg)
+    warmup_steps = int(cfg.alpha_p_warmup_epochs) * max(
+        total_steps // max(int(cfg.epochs), 1), 1
+    )
+    ap_sched = alpha_p_schedule(float(cfg.alpha_p), warmup_steps)
+    decay_start = int(cfg.lr_decay_start_frac * total_steps)
+    lr_now = linear_decay_schedule(1.0, decay_start, total_steps)  # unit lr for logging
+
+    if zca_stats is not None:
+        zca_mean = jnp.asarray(zca_stats.mean)
+        zca_whiten = jnp.asarray(zca_stats.whiten)
+    else:
+        zca_mean = zca_whiten = None
+
+    def preprocess(key, x_uint8):
+        """Host uint8 → augmented, (optionally) whitened compute-dtype batch."""
+        return ondevice.standard_pipeline(
+            key,
+            x_uint8,
+            translate=int(cfg.aug_translate),
+            flip=bool(cfg.aug_flip),
+            zca_mean=zca_mean,
+            zca_whiten=zca_whiten,
+            train=True,
+            dtype=cdt,
+        )
+
+    def whiten_gen(x_raw):
+        """G emits raw-pixel-space images; whiten before D/C score them
+        (SURVEY.md Appendix A data handling)."""
+        if zca_mean is not None:
+            return apply_zca(x_raw, zca_mean, zca_whiten)
+        return x_raw
+
+    def pmean(tree):
+        if axis_name is None:
+            return tree
+        return lax.pmean(tree, axis_name)
+
+    def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        step_no = state.step
+        rng = jax.random.fold_in(state.rng, step_no)
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, lax.axis_index(axis_name))
+        ks = jax.random.split(rng, 16)
+        alpha_p_now = ap_sched(step_no)
+
+        params, bn, opt = state.params, state.bn, state.opt
+
+        # ================= D update (players G, C frozen at current values) ==
+        bd = batch["d"]
+        x_l = preprocess(ks[0], bd["x_l"])
+        x_u = preprocess(ks[1], bd["x_u"])
+        y_l = bd["y_l"]
+        z_d = bd["z"].astype(cdt)
+        y_gd = bd["y_g"]
+
+        x_g_raw, _ = gen.apply(
+            params["gen"], bn["gen"], z_d, y_gd, train=True, axis_name=axis_name
+        )
+        x_g = whiten_gen(lax.stop_gradient(x_g_raw))
+        logits_c_u, _ = clf.apply(
+            params["clf"], bn["clf"], x_u, train=True, rng=ks[2], axis_name=axis_name
+        )
+        y_c = losses.sample_pseudo_labels(ks[3], logits_c_u, pseudo_label_mode)
+
+        b = x_l.shape[0]
+
+        def d_loss_fn(pd):
+            # One batched D forward over all 3 pair types — 3B rows for the
+            # MXU instead of three small convs (D has no BN, so batching is
+            # semantics-preserving).
+            x_all = jnp.concatenate([x_l, x_u, x_g], axis=0)
+            y_all = jnp.concatenate([y_l, y_c, y_gd], axis=0)
+            logit_all, _ = disc.apply(
+                pd, bn["disc"], x_all, y_all, train=True, rng=ks[4]
+            )
+            lr_real, lr_cla, lr_gen = logit_all[:b], logit_all[b : 2 * b], logit_all[2 * b :]
+            loss = losses.d_loss(lr_real, lr_cla, lr_gen, alpha)
+            return loss, losses.d_loss_terms(lr_real, lr_cla, lr_gen, alpha)
+
+        (d_total, d_terms), gd = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            params["disc"]
+        )
+        gd = pmean(gd)
+        upd_d, opt_d_new = opt_d.update(gd, opt["disc"], params["disc"])
+        pd_new = optax.apply_updates(params["disc"], upd_d)
+
+        # ================= G update (sees the UPDATED D) =====================
+        bg = batch["g"]
+        z_g = bg["z"].astype(cdt)
+        y_gg = bg["y_g"]
+
+        def g_loss_fn(pg):
+            x_raw, bn_g_new = gen.apply(
+                pg, bn["gen"], z_g, y_gg, train=True, axis_name=axis_name
+            )
+            logit_g, _ = disc.apply(
+                pd_new, bn["disc"], whiten_gen(x_raw), y_gg, train=True, rng=ks[5]
+            )
+            loss = losses.g_loss(logit_g, alpha, bool(cfg.non_saturating_g))
+            return loss, bn_g_new
+
+        (g_total, bn_g_new), gg = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            params["gen"]
+        )
+        gg = pmean(gg)
+        upd_g, opt_g_new = opt_g.update(gg, opt["gen"], params["gen"])
+        pg_new = optax.apply_updates(params["gen"], upd_g)
+
+        # ================= C update (sees UPDATED D and G) ===================
+        bc = batch["c"]
+        x_l_c = preprocess(ks[6], bc["x_l"])
+        x_u_c = preprocess(ks[7], bc["x_u"])
+        y_l_c = bc["y_l"]
+        z_c = bc["z"].astype(cdt)
+        y_gc = bc["y_g"]
+
+        x_g_c_raw, _ = gen.apply(
+            pg_new, bn_g_new, z_c, y_gc, train=True, axis_name=axis_name
+        )
+        x_g_c = whiten_gen(lax.stop_gradient(x_g_c_raw))
+
+        def c_loss_fn(pc):
+            # Three separate forwards (labeled / unlabeled / generated), each
+            # normalizing with its own batch statistics — matching the
+            # reference's three forward_pass graph ops. Running stats chain
+            # through the three calls; the final state is kept.
+            log_l, s1 = clf.apply(
+                pc, bn["clf"], x_l_c, train=True, rng=ks[8], axis_name=axis_name
+            )
+            log_u, s2 = clf.apply(pc, s1, x_u_c, train=True, rng=ks[9], axis_name=axis_name)
+            log_g, s3 = clf.apply(pc, s2, x_g_c, train=True, rng=ks[10], axis_name=axis_name)
+            y_c2 = losses.sample_pseudo_labels(ks[11], log_u, pseudo_label_mode)
+            logit_d_cla, _ = disc.apply(
+                pd_new, bn["disc"], x_u_c, y_c2, train=True, rng=ks[12]
+            )
+            total, terms = losses.c_loss(
+                log_l, y_l_c, logit_d_cla, log_u, y_c2, log_g, y_gc,
+                alpha, alpha_p_now,
+            )
+            return total, (s3, terms)
+
+        (c_total, (bn_c_new, c_terms)), gc = jax.value_and_grad(
+            c_loss_fn, has_aux=True
+        )(params["clf"])
+        gc = pmean(gc)
+        upd_c, opt_c_new = opt_c.update(gc, opt["clf"], params["clf"])
+        pc_new = optax.apply_updates(params["clf"], upd_c)
+
+        new_state = TrainState(
+            params={"gen": pg_new, "disc": pd_new, "clf": pc_new},
+            bn={"gen": bn_g_new, "disc": bn["disc"], "clf": bn_c_new},
+            opt={"gen": opt_g_new, "disc": opt_d_new, "clf": opt_c_new},
+            step=step_no + 1,
+            rng=state.rng,
+        )
+        metrics = {
+            "loss_d": d_total,
+            "loss_g": g_total,
+            "loss_c": c_total,
+            **d_terms,
+            **c_terms,
+            "alpha_p": alpha_p_now,
+            "lr_frac": lr_now(step_no),
+        }
+        metrics = pmean(metrics)
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(cfg, nets, zca_stats=None, axis_name: Optional[str] = None):
+    """Classifier test-error step (SURVEY.md §3.4): masked correct-count on a
+    fixed-shape test batch, eval-mode BN (running stats), no augmentation."""
+    _, _, clf = nets
+    cdt = _compute_dtype(cfg)
+    if zca_stats is not None:
+        zca_mean = jnp.asarray(zca_stats.mean)
+        zca_whiten = jnp.asarray(zca_stats.whiten)
+    else:
+        zca_mean = zca_whiten = None
+
+    def eval_step(state: TrainState, batch) -> Dict[str, jax.Array]:
+        x = ondevice.standard_pipeline(
+            None,
+            batch["x"],
+            zca_mean=zca_mean,
+            zca_whiten=zca_whiten,
+            train=False,
+            dtype=cdt,
+        )
+        logits, _ = clf.apply(state.params["clf"], state.bn["clf"], x, train=False)
+        pred = jnp.argmax(logits, axis=-1)
+        mask = batch["mask"]
+        correct = jnp.sum((pred == batch["y"]) * mask)
+        count = jnp.sum(mask)
+        if axis_name is not None:
+            correct = lax.psum(correct, axis_name)
+            count = lax.psum(count, axis_name)
+        return {"correct": correct, "count": count}
+
+    return eval_step
