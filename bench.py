@@ -34,11 +34,15 @@ def main() -> None:
     from triplegan_tpu.configs import get_config
     from triplegan_tpu.configs.base import make_networks
     from triplegan_tpu.data.datasets import synthetic_dataset
-    from triplegan_tpu.data.pipeline import BatchSampler, device_prefetch
+    from triplegan_tpu.data.pipeline import (
+        BatchSampler,
+        device_prefetch,
+        upload_device_data,
+    )
     from triplegan_tpu.data.zca import fit_zca
     from triplegan_tpu.train.schedule import make_optimizers
     from triplegan_tpu.train.state import create_state
-    from triplegan_tpu.train.step import make_train_step
+    from triplegan_tpu.train.step import make_device_train_step, make_train_step
 
     batch = int(os.environ.get("BENCH_BATCH", "512"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
@@ -60,23 +64,42 @@ def main() -> None:
     nets = make_networks(cfg)
     opts = make_optimizers(cfg, total_steps)
     state = create_state(cfg, nets, opts)
-    step = jax.jit(
-        make_train_step(cfg, nets, opts, total_steps, zca_stats=zca),
-        donate_argnums=0,
-    )
-    sampler = BatchSampler(data, cfg.batch_size, seed=0)
-    batches = device_prefetch(sampler.triple_iter(cfg.z_dim, cfg.num_classes), depth=2)
+    on_device = os.environ.get("BENCH_DEVICE_DATA", "1") == "1"
+    if on_device:
+        # HBM-resident dataset, batches sampled inside the compiled step —
+        # zero host↔device transfers in the hot loop.
+        device_data = upload_device_data(data)
+        step = jax.jit(
+            make_device_train_step(cfg, nets, opts, total_steps, zca_stats=zca),
+            donate_argnums=0,
+        )
+        next_batch = lambda: device_data
+    else:
+        step = jax.jit(
+            make_train_step(cfg, nets, opts, total_steps, zca_stats=zca),
+            donate_argnums=0,
+        )
+        sampler = BatchSampler(data, cfg.batch_size, seed=0)
+        batches = device_prefetch(
+            sampler.triple_iter(cfg.z_dim, cfg.num_classes), depth=2
+        )
+        next_batch = lambda: next(batches)
 
     # Warmup: compile + 3 steps.
     for _ in range(3):
-        state, metrics = step(state, next(batches))
+        state, metrics = step(state, next_batch())
     jax.block_until_ready(metrics)
 
+    profile_dir = os.environ.get("BENCH_PROFILE", "")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state, metrics = step(state, next(batches))
+        state, metrics = step(state, next_batch())
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     imgs_per_sec = n_steps * batch / dt
     n_chips = jax.device_count()

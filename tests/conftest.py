@@ -10,6 +10,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402  (import after flags)
 
+# The environment's TPU plugin ignores JAX_PLATFORMS; force the default
+# platform through the config API so jax.devices() really is 8 fake CPUs.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: this host is single-core, so avoiding

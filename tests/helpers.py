@@ -27,6 +27,8 @@ def tiny_config(**overrides):
     cfg.clf.tail = (16, 8)
     cfg.batch_size = 8
     cfg.bn_momentum = 0.8
+    cfg.data_on_device = False  # host streaming by default in tests; the
+                                # device-resident path has its own suite
     cfg.epochs = 4
     cfg.steps_per_epoch = 4
     cfg.alpha_p_warmup_epochs = 1

@@ -113,6 +113,53 @@ def cmd_sample(args):
     print(f"wrote {args.out}")
 
 
+def cmd_inception(args):
+    """Inception-style score of class-conditional generation (SURVEY.md §6:
+    paper reports ≈5.08 for conditional CIFAR-10). Scores G's samples with
+    the checkpoint's own classifier in eval mode (no network access for an
+    Inception-v3 here; any scorer can be plugged in programmatically)."""
+    import jax
+    import jax.numpy as jnp
+
+    from triplegan_tpu.ckpt import CheckpointManager
+    from triplegan_tpu.configs.base import make_networks
+    from triplegan_tpu.eval.inception import inception_score
+    from triplegan_tpu.train.schedule import make_optimizers
+    from triplegan_tpu.train.state import create_state
+
+    cfg = _load_cfg(args)
+    workdir = os.path.join(cfg.workdir, cfg.name)
+    nets = make_networks(cfg)
+    gen, _, clf = nets
+    state = create_state(cfg, nets, make_optimizers(cfg, 1))
+    ckpt = CheckpointManager(os.path.join(workdir, "ckpt"))
+    restored = ckpt.restore(state)
+    if restored is None:
+        sys.exit(f"no checkpoint under {workdir}/ckpt")
+
+    n = args.n_samples
+    key = jax.random.PRNGKey(args.seed)
+    kz, ky = jax.random.split(key)
+    z = jax.random.normal(kz, (n, cfg.z_dim))
+    y = jax.random.randint(ky, (n,), 0, cfg.num_classes)
+
+    @jax.jit
+    def generate(state, z, y):
+        x, _ = gen.apply(state.params["gen"], state.bn["gen"], z, y, train=False)
+        return x
+
+    @jax.jit
+    def score_logits(x):
+        logits, _ = clf.apply(
+            restored.params["clf"], restored.bn["clf"], x, train=False
+        )
+        return logits
+
+    images = generate(restored, z, y)
+    mean, std = inception_score(score_logits, images, n_splits=args.n_splits)
+    print(f"inception score (classifier-scored): {mean:.3f} ± {std:.3f}")
+
+
 def cmd_prepare(args):
     from triplegan_tpu.data.prepare import prepare
 
@@ -145,6 +192,13 @@ def main(argv=None):
     sp.add_argument("--n-per-class", type=int, default=10)
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser("inception", help="inception-style score of conditional samples")
+    common(sp)
+    sp.add_argument("--n-samples", type=int, default=5000)
+    sp.add_argument("--n-splits", type=int, default=10)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_inception)
 
     sp = sub.add_parser("prepare", help="convert raw dataset files to npz shards")
     sp.add_argument("--dataset", required=True)

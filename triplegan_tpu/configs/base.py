@@ -61,6 +61,8 @@ def base_config() -> ml_collections.ConfigDict:
     cfg.alpha_p = 0.1                         # pseudo-discriminative weight α_P
     cfg.alpha_p_warmup_epochs = 200           # R_P off until this epoch
     cfg.non_saturating_g = True               # -log D(G) heuristic for L_G
+    cfg.ddinit = False                        # data-dependent weight-norm init
+                                              # (Salimans-Kingma) on first batch
 
     # --- optimization ------------------------------------------------------
     cfg.batch_size = 100                      # per stream (labeled/unlabeled/gen)
@@ -77,6 +79,10 @@ def base_config() -> ml_collections.ConfigDict:
     # --- execution ---------------------------------------------------------
     cfg.compute_dtype = "float32"             # "bfloat16" for throughput runs
     cfg.use_pallas = False                    # fused Pallas epilogues
+    cfg.data_on_device = True                 # HBM-resident dataset, batches
+                                              # sampled inside the step (zero
+                                              # per-step H2D); False = host
+                                              # epoch-shuffled streaming
     cfg.mesh_shape = (1,)                     # data-parallel mesh over ICI
     cfg.log_every = 100
     cfg.eval_every_epochs = 1

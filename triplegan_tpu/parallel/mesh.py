@@ -52,7 +52,21 @@ def shard_train_step(step_fn, mesh: Mesh):
         in_specs=(P(), P(AXIS)),
         out_specs=(P(), P()),
     )
-    return jax.jit(mapped)
+    return jax.jit(mapped, donate_argnums=0)
+
+
+def shard_device_train_step(step_fn, mesh: Mesh):
+    """shard_map wrapper for ``make_device_train_step``: the HBM-resident
+    dataset is replicated (P()) — each shard draws its own sub-batch inside
+    the step with a per-shard RNG fold, so no batch sharding is needed."""
+    mapped = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # per-shard RNG sampling is intentionally divergent
+    )
+    return jax.jit(mapped, donate_argnums=0)
 
 
 def shard_eval_step(eval_fn, mesh: Mesh):

@@ -21,14 +21,14 @@ import numpy as np
 from triplegan_tpu.ckpt import CheckpointManager
 from triplegan_tpu.configs.base import display, make_networks
 from triplegan_tpu.data.datasets import SemiSupervisedData, load_dataset, synthetic_dataset
-from triplegan_tpu.data.pipeline import BatchSampler, device_prefetch
+from triplegan_tpu.data.pipeline import BatchSampler, device_prefetch, upload_device_data
 from triplegan_tpu.data.zca import ZCAStats, fit_zca
 from triplegan_tpu.eval.metrics import evaluate_error
 from triplegan_tpu.eval.sample import class_grid_inputs, make_sample_fn, to_uint8_grid, save_png
 from triplegan_tpu.parallel import mesh as pmesh
 from triplegan_tpu.train.schedule import make_optimizers
 from triplegan_tpu.train.state import create_state, param_count
-from triplegan_tpu.train.step import make_eval_step, make_train_step
+from triplegan_tpu.train.step import make_device_train_step, make_eval_step, make_train_step
 from triplegan_tpu.utils.logging import MetricsLogger
 
 
@@ -93,24 +93,34 @@ def train(
             f"batch_size {cfg.batch_size} must divide evenly over the "
             f"{n_dev}-device data mesh"
         )
-    train_step_fn = make_train_step(
-        cfg, nets, optimizers, total_steps, zca,
-        axis_name=pmesh.AXIS if n_dev > 1 else None,
-    )
-    eval_step_fn = make_eval_step(
-        cfg, nets, zca, axis_name=pmesh.AXIS if n_dev > 1 else None
-    )
-    sharding = None
-    if n_dev > 1:
-        mesh = pmesh.make_mesh(n_dev)
-        step = pmesh.shard_train_step(train_step_fn, mesh)
-        eval_step = pmesh.shard_eval_step(eval_step_fn, mesh)
-        sharding = pmesh.batch_sharding(mesh)
-        state = jax.device_put(
-            state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    axis = pmesh.AXIS if n_dev > 1 else None
+    on_device = bool(cfg.data_on_device)
+    if on_device:
+        train_step_fn = make_device_train_step(
+            cfg, nets, optimizers, total_steps, zca,
+            axis_name=axis, n_shards=n_dev,
         )
     else:
-        step = jax.jit(train_step_fn)
+        train_step_fn = make_train_step(
+            cfg, nets, optimizers, total_steps, zca, axis_name=axis
+        )
+    eval_step_fn = make_eval_step(cfg, nets, zca, axis_name=axis)
+    sharding = None
+    replicated = None
+    if n_dev > 1:
+        mesh = pmesh.make_mesh(n_dev)
+        if on_device:
+            step = pmesh.shard_device_train_step(train_step_fn, mesh)
+        else:
+            step = pmesh.shard_train_step(train_step_fn, mesh)
+        eval_step = pmesh.shard_eval_step(eval_step_fn, mesh)
+        sharding = pmesh.batch_sharding(mesh)
+        replicated = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        state = jax.device_put(state, replicated)
+    else:
+        # Donate the state: params/opt buffers are reused in place, halving
+        # peak HBM for the step and removing a copy per iteration.
+        step = jax.jit(train_step_fn, donate_argnums=0)
         eval_step = jax.jit(eval_step_fn)
 
     ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), max_to_keep=cfg.ckpt_keep)
@@ -119,11 +129,19 @@ def train(
         state = restored
         if verbose:
             print(f"resumed from step {int(state.step)}")
+    elif cfg.ddinit:
+        state = _apply_ddinit(cfg, nets, state, data, zca)
+        if verbose:
+            print("applied data-dependent weight-norm init")
 
     sampler = BatchSampler(data, cfg.batch_size, seed=cfg.seed)
-    batches = device_prefetch(
-        sampler.triple_iter(cfg.z_dim, cfg.num_classes), sharding=sharding
-    )
+    if on_device:
+        device_data = upload_device_data(data, sharding=replicated)
+        batches = None
+    else:
+        batches = device_prefetch(
+            sampler.triple_iter(cfg.z_dim, cfg.num_classes), sharding=sharding
+        )
     sample_fn = make_sample_fn(cfg, nets)
 
     start_step = int(state.step)
@@ -132,8 +150,10 @@ def train(
     test_error = None
     t_log = time.perf_counter()
     for it in range(start_step, end_step):
-        batch = next(batches)
-        state, metrics = step(state, batch)
+        if on_device:
+            state, metrics = step(state, device_data)
+        else:
+            state, metrics = step(state, next(batches))
 
         if (it + 1) % cfg.log_every == 0 or it + 1 == end_step:
             metrics = jax.device_get(metrics)
@@ -172,6 +192,36 @@ def train(
         "workdir": workdir,
         "state": state,
     }
+
+
+def _apply_ddinit(cfg, nets, state, data: SemiSupervisedData, zca):
+    """Data-dependent weight-norm init (Salimans-Kingma) on one real batch,
+    preprocessed exactly as the train step would (rescale + ZCA, no aug)."""
+    import jax.numpy as jnp
+
+    from triplegan_tpu.data import ondevice
+    from triplegan_tpu.nn.ddinit import ddinit_discriminator, ddinit_generator
+
+    gen, disc, _ = nets
+    n = min(cfg.batch_size, len(data.x_unlabel))
+    x = ondevice.standard_pipeline(
+        None,
+        jnp.asarray(data.x_unlabel[:n]),
+        zca_mean=jnp.asarray(zca.mean) if zca else None,
+        zca_whiten=jnp.asarray(zca.whiten) if zca else None,
+        train=False,
+    )
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    kz, ky, kyd = jax.random.split(rng, 3)
+    y = jax.random.randint(kyd, (n,), 0, cfg.num_classes)
+    z = jax.random.normal(kz, (n, cfg.z_dim))
+    y_g = jax.random.randint(ky, (n,), 0, cfg.num_classes)
+    new_params = dict(state.params)
+    new_params["disc"] = ddinit_discriminator(disc, state.params["disc"], x, y)
+    new_params["gen"] = ddinit_generator(
+        gen, state.params["gen"], state.bn["gen"], z, y_g
+    )
+    return state.replace(params=new_params)
 
 
 def _test_stream(sampler: BatchSampler, n_dev: int, sharding):

@@ -27,21 +27,28 @@ class TrainState:
 
 def create_state(cfg, nets, optimizers, seed: int | None = None) -> TrainState:
     gen, disc, clf = nets
-    root = jax.random.PRNGKey(cfg.seed if seed is None else seed)
-    kg, kd, kc, krun = jax.random.split(root, 4)
-    pg, sg = gen.init(kg)
-    pd, sd = disc.init(kd)
-    pc, sc = clf.init(kc)
-    params = {"gen": pg, "disc": pd, "clf": pc}
-    bn = {"gen": sg, "disc": sd, "clf": sc}
-    opt = {name: optimizers[name].init(params[name]) for name in params}
-    return TrainState(
-        params=params,
-        bn=bn,
-        opt=opt,
-        step=jnp.zeros((), jnp.int32),
-        rng=krun,
-    )
+
+    # One jitted init: the whole state materializes as a single executable
+    # instead of hundreds of small host→device ops (each of which pays full
+    # dispatch latency — significant at CLI startup and on remote runtimes).
+    @jax.jit
+    def _init(root):
+        kg, kd, kc, krun = jax.random.split(root, 4)
+        pg, sg = gen.init(kg)
+        pd, sd = disc.init(kd)
+        pc, sc = clf.init(kc)
+        params = {"gen": pg, "disc": pd, "clf": pc}
+        bn = {"gen": sg, "disc": sd, "clf": sc}
+        opt = {name: optimizers[name].init(params[name]) for name in params}
+        return TrainState(
+            params=params,
+            bn=bn,
+            opt=opt,
+            step=jnp.zeros((), jnp.int32),
+            rng=krun,
+        )
+
+    return _init(jax.random.PRNGKey(cfg.seed if seed is None else seed))
 
 
 def param_count(state: TrainState) -> Dict[str, int]:

@@ -233,6 +233,71 @@ def make_train_step(
     return step
 
 
+def make_device_train_step(
+    cfg,
+    nets,
+    optimizers,
+    total_steps: int,
+    zca_stats=None,
+    axis_name: Optional[str] = None,
+    pseudo_label_mode: str = "sample",
+    n_shards: int = 1,
+):
+    """Device-resident data variant: ``(state, device_data) -> (state, metrics)``.
+
+    The whole dataset lives in HBM (uint8 NHWC: CIFAR-10 is 37 MB, even
+    STL-10's 100k unlabeled pool is ~2.6 GB — all fit a v5e chip many times
+    over). Each step draws its per-player sub-batches *inside* the compiled
+    program with RNG index gathers, so the hot loop does ZERO host↔device
+    transfers — the logical endpoint of the north star's "double-buffered
+    device feeding" [B]. Sampling is iid-uniform per step (vs the host
+    sampler's epoch shuffles) — statistically equivalent for training;
+    the host pipeline remains for strict epoch semantics or out-of-memory
+    datasets.
+
+    ``device_data`` = {"x_l","y_l","x_u"} jnp arrays (see
+    ``pipeline.upload_device_data``). With a mesh, data is replicated and
+    each shard draws ``batch_size // n_shards`` examples with a
+    per-shard-folded key.
+    """
+    core = make_train_step(
+        cfg, nets, optimizers, total_steps, zca_stats, axis_name, pseudo_label_mode
+    )
+    b = int(cfg.batch_size) // max(n_shards, 1)
+    z_dim = int(cfg.z_dim)
+    n_classes = int(cfg.num_classes)
+
+    def step(state: TrainState, data) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng = jax.random.fold_in(state.rng, state.step)
+        rng = jax.random.fold_in(rng, 0x5A5A)  # sampling domain, disjoint from core's keys
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, lax.axis_index(axis_name))
+        kd, kc, kg = jax.random.split(rng, 3)
+
+        def noise(k):
+            kz, ky = jax.random.split(k)
+            return {
+                "z": jax.random.normal(kz, (b, z_dim), jnp.float32),
+                "y_g": jax.random.randint(ky, (b,), 0, n_classes, jnp.int32),
+            }
+
+        def stream(k):
+            k1, k2, kn = jax.random.split(k, 3)
+            il = jax.random.randint(k1, (b,), 0, data["x_l"].shape[0])
+            iu = jax.random.randint(k2, (b,), 0, data["x_u"].shape[0])
+            return {
+                "x_l": jnp.take(data["x_l"], il, axis=0),
+                "y_l": jnp.take(data["y_l"], il, axis=0),
+                "x_u": jnp.take(data["x_u"], iu, axis=0),
+                **noise(kn),
+            }
+
+        batch = {"d": stream(kd), "c": stream(kc), "g": noise(kg)}
+        return core(state, batch)
+
+    return step
+
+
 def make_eval_step(cfg, nets, zca_stats=None, axis_name: Optional[str] = None):
     """Classifier test-error step (SURVEY.md §3.4): masked correct-count on a
     fixed-shape test batch, eval-mode BN (running stats), no augmentation."""
