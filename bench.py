@@ -27,9 +27,15 @@ import numpy as np
 
 
 def main() -> None:
+    import jax as _jax
+
     from triplegan_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if os.environ.get("BENCH_RBG", "1") == "1":
+        # Hardware RBG PRNG: much cheaper dropout/noise mask generation on
+        # TPU than the default threefry counter-based PRNG.
+        _jax.config.update("jax_default_prng_impl", "rbg")
 
     from triplegan_tpu.configs import get_config
     from triplegan_tpu.configs.base import make_networks
@@ -52,13 +58,20 @@ def main() -> None:
     cfg = get_config("cifar10_4k")
     cfg.batch_size = batch
     cfg.compute_dtype = dtype
+    cfg.fused_clf_forward = os.environ.get("BENCH_FUSED_CLF", "0") == "1"
+    cfg.use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    if os.environ.get("BENCH_NO_AUG", "0") == "1":
+        cfg.aug_translate = 0
+        cfg.aug_flip = False
+    if os.environ.get("BENCH_NO_ZCA", "0") == "1":
+        cfg.zca = False
 
     # CIFAR-shaped synthetic data (the step's cost is data-independent).
     data = synthetic_dataset(
         image_size=32, channels=3, num_classes=10,
         n_train=4096, n_test=256, num_labeled=512,
     )
-    zca = fit_zca(data.x_unlabel[:2048])
+    zca = fit_zca(data.x_unlabel[:2048]) if cfg.zca else None
 
     total_steps = 10_000
     nets = make_networks(cfg)

@@ -67,6 +67,37 @@ def test_sample_grid_shape(tmp_path):
     assert grid.dtype == np.uint8
 
 
+def test_train_fully_reproducible(tmp_path):
+    """Two full runs with the same seed produce identical final metrics and
+    test error (golden-run property; the reference's fixed-seed contract)."""
+    cfg1 = tiny_config()
+    cfg1.workdir = str(tmp_path / "a")
+    r1 = train(cfg1, data=tiny_data(cfg1), verbose=False)
+    cfg2 = tiny_config()
+    cfg2.workdir = str(tmp_path / "b")
+    r2 = train(cfg2, data=tiny_data(cfg2), verbose=False)
+    assert r1["test_error"] == r2["test_error"]
+    for k in r1["metrics"]:
+        assert r1["metrics"][k] == r2["metrics"][k], k
+
+
+def test_profiler_trace_smoke(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from triplegan_tpu.utils.profiling import step_timer, trace
+
+    with trace(str(tmp_path)):
+        jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    import os
+
+    assert any("plugins" in d or f for d, _, f in os.walk(tmp_path)), "no trace output"
+    res = {}
+    with step_timer(res):
+        jax.block_until_ready(jnp.ones((4,)) * 2)
+    assert res["seconds"] > 0
+
+
 def test_inception_score_uniform_vs_confident():
     import jax.numpy as jnp
 

@@ -106,6 +106,33 @@ def test_eval_step_masked_count():
     assert total == len(tiny_data(cfg).x_test)
 
 
+def test_fused_clf_forward_mode():
+    """Throughput option: one 3B-row classifier pass — runs, finite, moves C."""
+    cfg = tiny_config()
+    cfg.fused_clf_forward = True
+    _, _, state, sampler, step = _setup(cfg)
+    state2, metrics = step(state, sampler.next_triple(cfg.z_dim, cfg.num_classes))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite (fused clf)"
+    moved = any(
+        float(jnp.max(jnp.abs(a - b))) > 0
+        for a, b in zip(
+            jax.tree.leaves(state.params["clf"]), jax.tree.leaves(state2.params["clf"])
+        )
+    )
+    assert moved
+
+
+def test_models_alias_package():
+    from triplegan_tpu.models import Classifier, Discriminator, Generator, make_networks
+
+    cfg = tiny_config()
+    gen, disc, clf = make_networks(cfg)
+    assert isinstance(gen, Generator)
+    assert isinstance(disc, Discriminator)
+    assert isinstance(clf, Classifier)
+
+
 def test_bfloat16_compute_path():
     cfg = tiny_config()
     cfg.compute_dtype = "bfloat16"

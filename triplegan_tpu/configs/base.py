@@ -78,7 +78,14 @@ def base_config() -> ml_collections.ConfigDict:
 
     # --- execution ---------------------------------------------------------
     cfg.compute_dtype = "float32"             # "bfloat16" for throughput runs
+    cfg.prng_impl = "threefry"                # "rbg" = faster TPU hardware RNG
+                                              # for dropout/noise masks (+8%
+                                              # step throughput); threefry =
+                                              # fully reproducible default
     cfg.use_pallas = False                    # fused Pallas epilogues
+    cfg.fused_clf_forward = False             # one 3B-row classifier pass
+                                              # (virtual-batch BN) vs the
+                                              # reference's 3 separate passes
     cfg.data_on_device = True                 # HBM-resident dataset, batches
                                               # sampled inside the step (zero
                                               # per-step H2D); False = host

@@ -58,8 +58,12 @@ def _act_grad(z: jax.Array, act: str, slope: float) -> jax.Array:
 
 
 def _kernel(x_ref, k_ref, b_ref, o_ref, *, act: str, slope: float):
-    z = x_ref[:] * k_ref[:] + b_ref[:]
-    o_ref[:] = _act(z, act, slope)
+    # Compute in f32 inside VMEM: Mosaic lacks bf16 comparisons on some
+    # targets, and the epilogue is bandwidth-bound so f32 VPU math is free.
+    z = x_ref[:].astype(jnp.float32) * k_ref[:].astype(jnp.float32) + b_ref[
+        :
+    ].astype(jnp.float32)
+    o_ref[:] = _act(z, act, slope).astype(o_ref.dtype)
 
 
 def _pallas_rows(x2d: jax.Array, k: jax.Array, b: jax.Array, act: str, slope: float,

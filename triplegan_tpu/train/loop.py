@@ -66,6 +66,8 @@ def train(
 ):
     """Full training run; returns a summary dict. ``max_steps`` caps total
     steps for smoke tests without changing schedule constants."""
+    if cfg.get("prng_impl", "threefry") != "threefry":
+        jax.config.update("jax_default_prng_impl", cfg.prng_impl)
     workdir = os.path.join(cfg.workdir, cfg.name)
     os.makedirs(workdir, exist_ok=True)
     logger = MetricsLogger(workdir)

@@ -184,16 +184,35 @@ def make_train_step(
         )
         x_g_c = whiten_gen(lax.stop_gradient(x_g_c_raw))
 
+        fused_clf = bool(cfg.get("fused_clf_forward", False))
+
         def c_loss_fn(pc):
-            # Three separate forwards (labeled / unlabeled / generated), each
-            # normalizing with its own batch statistics — matching the
-            # reference's three forward_pass graph ops. Running stats chain
-            # through the three calls; the final state is kept.
-            log_l, s1 = clf.apply(
-                pc, bn["clf"], x_l_c, train=True, rng=ks[8], axis_name=axis_name
-            )
-            log_u, s2 = clf.apply(pc, s1, x_u_c, train=True, rng=ks[9], axis_name=axis_name)
-            log_g, s3 = clf.apply(pc, s2, x_g_c, train=True, rng=ks[10], axis_name=axis_name)
+            if fused_clf:
+                # Throughput option: one 3B-row classifier pass. BN then
+                # normalizes across the three streams jointly (virtual-batch
+                # semantics) — a deliberate deviation, off by default.
+                bsz = x_l_c.shape[0]
+                x_all = jnp.concatenate([x_l_c, x_u_c, x_g_c], axis=0)
+                log_all, s3 = clf.apply(
+                    pc, bn["clf"], x_all, train=True, rng=ks[8], axis_name=axis_name
+                )
+                log_l, log_u, log_g = (
+                    log_all[:bsz], log_all[bsz : 2 * bsz], log_all[2 * bsz :]
+                )
+            else:
+                # Three separate forwards (labeled / unlabeled / generated),
+                # each normalizing with its own batch statistics — matching
+                # the reference's three forward_pass graph ops. Running stats
+                # chain through the calls; the final state is kept.
+                log_l, s1 = clf.apply(
+                    pc, bn["clf"], x_l_c, train=True, rng=ks[8], axis_name=axis_name
+                )
+                log_u, s2 = clf.apply(
+                    pc, s1, x_u_c, train=True, rng=ks[9], axis_name=axis_name
+                )
+                log_g, s3 = clf.apply(
+                    pc, s2, x_g_c, train=True, rng=ks[10], axis_name=axis_name
+                )
             y_c2 = losses.sample_pseudo_labels(ks[11], log_u, pseudo_label_mode)
             logit_d_cla, _ = disc.apply(
                 pd_new, bn["disc"], x_u_c, y_c2, train=True, rng=ks[12]
