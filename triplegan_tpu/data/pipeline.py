@@ -55,16 +55,20 @@ class BatchSampler:
         return idx, order, need
 
     def next(self) -> Dict[str, np.ndarray]:
+        from triplegan_tpu.data.native import gather_rows
+
         idx_l, self._label_order, self._label_pos = self._take(
             self._label_order, self._label_pos, len(self.data.x_label)
         )
         idx_u, self._unlabel_order, self._unlabel_pos = self._take(
             self._unlabel_order, self._unlabel_pos, len(self.data.x_unlabel)
         )
+        # Image gathers go through the native threaded assembler
+        # (csrc/batch_gather.cpp) when available; numpy otherwise.
         return {
-            "x_l": self.data.x_label[idx_l],
+            "x_l": gather_rows(self.data.x_label, idx_l),
             "y_l": self.data.y_label[idx_l],
-            "x_u": self.data.x_unlabel[idx_u],
+            "x_u": gather_rows(self.data.x_unlabel, idx_u),
         }
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
