@@ -23,7 +23,6 @@ import os
 import time
 
 import jax
-import numpy as np
 
 
 def main() -> None:

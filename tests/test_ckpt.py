@@ -2,7 +2,6 @@
 params ×3, Adam slots ×3, BN stats, step, RNG key — through orbax."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from tests.helpers import tiny_config, tiny_data

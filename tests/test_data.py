@@ -1,7 +1,6 @@
 """Data-layer tests: split semantics, sampler stream behavior, prepare-tool
 round-trips on synthetic raw files (no network — SURVEY.md §4.5)."""
 
-import gzip
 import os
 import pickle
 import struct
@@ -127,6 +126,50 @@ def test_prepare_cifar10_roundtrip_with_zca(tmp_path):
     ds = load_dataset(out, "cifar10", num_labeled=20, num_classes=10)
     assert ds.x_unlabel.shape == (100, 32, 32, 3)
     assert os.path.exists(os.path.join(out, "cifar10", "zca_stats.npz"))
+
+
+def test_prepare_svhn_roundtrip(tmp_path):
+    from scipy.io import savemat
+
+    raw = str(tmp_path / "raw")
+    out = str(tmp_path / "out")
+    os.makedirs(raw, exist_ok=True)
+    rng = np.random.RandomState(0)
+    for split, n in [("train", 40), ("test", 16)]:
+        x = rng.randint(0, 255, size=(32, 32, 3, n), dtype=np.uint8)  # HWCN
+        y = rng.randint(1, 11, size=(n, 1))  # SVHN labels 1..10 (10 = digit 0)
+        savemat(os.path.join(raw, f"{split}_32x32.mat"), {"X": x, "y": y})
+    prepare("svhn", raw, out)
+    ds = load_dataset(out, "svhn", num_labeled=20, num_classes=10)
+    assert ds.x_unlabel.shape == (40, 32, 32, 3)
+    assert ds.y_test.min() >= 0 and ds.y_test.max() <= 9  # label 10 remapped to 0
+
+
+def test_prepare_stl10_roundtrip(tmp_path):
+    bdir = tmp_path / "raw" / "stl10_binary"
+    os.makedirs(bdir, exist_ok=True)
+    rng = np.random.RandomState(0)
+
+    def write_images(name, n):
+        (bdir / name).write_bytes(
+            rng.randint(0, 255, size=(n, 3, 96, 96), dtype=np.uint8).tobytes()
+        )
+
+    def write_labels(name, n):
+        (bdir / name).write_bytes(
+            rng.randint(1, 11, size=n, dtype=np.uint8).tobytes()  # 1-indexed
+        )
+
+    write_images("train_X.bin", 20)
+    write_labels("train_y.bin", 20)
+    write_images("test_X.bin", 10)
+    write_labels("test_y.bin", 10)
+    write_images("unlabeled_X.bin", 30)
+    out = str(tmp_path / "out")
+    prepare("stl10", str(tmp_path / "raw"), out)
+    ds = load_dataset(out, "stl10", num_labeled=10, num_classes=10)
+    assert ds.x_unlabel.shape == (50, 96, 96, 3)  # 20 train + 30 unlabeled
+    assert ds.y_test.min() >= 0 and ds.y_test.max() <= 9  # 0-indexed after prep
 
 
 def test_synthetic_dataset_learnable_signal():

@@ -1,7 +1,6 @@
 """NaN-check debug mode: clean steps pass; a poisoned batch raises with the
 offending op named (SURVEY.md §5 sanitizer equivalent)."""
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -5,7 +5,6 @@ deconv SAME shape semantics, ZCA round-trip."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from triplegan_tpu.data import ondevice
 from triplegan_tpu.data.zca import apply_zca, fit_zca

@@ -2,7 +2,6 @@
 fancy indexing exactly, clamps out-of-range indices, falls back cleanly."""
 
 import numpy as np
-import pytest
 
 from triplegan_tpu.data import native
 

@@ -2,7 +2,6 @@
 shard_map'd step == single-device step on the same global batch."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

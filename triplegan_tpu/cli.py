@@ -119,7 +119,6 @@ def cmd_inception(args):
     the checkpoint's own classifier in eval mode (no network access for an
     Inception-v3 here; any scorer can be plugged in programmatically)."""
     import jax
-    import jax.numpy as jnp
 
     from triplegan_tpu.ckpt import CheckpointManager
     from triplegan_tpu.configs.base import make_networks

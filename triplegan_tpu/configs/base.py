@@ -61,6 +61,8 @@ def base_config() -> ml_collections.ConfigDict:
     cfg.alpha_p = 0.1                         # pseudo-discriminative weight α_P
     cfg.alpha_p_warmup_epochs = 200           # R_P off until this epoch
     cfg.non_saturating_g = True               # -log D(G) heuristic for L_G
+    cfg.pseudo_label_mode = "sample"          # y_c ~ p_c(y|x_u); "argmax" for
+                                              # deterministic pseudo-labels
     cfg.ddinit = False                        # data-dependent weight-norm init
                                               # (Salimans-Kingma) on first batch
 

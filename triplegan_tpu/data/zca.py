@@ -12,9 +12,6 @@ negligible and fuses with the surrounding step.
 from __future__ import annotations
 
 import dataclasses
-import os
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -4,8 +4,6 @@ de-normalized from G's tanh range back to uint8 pixels, saved as PNG."""
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

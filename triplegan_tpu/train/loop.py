@@ -10,7 +10,6 @@ only at log intervals.
 
 from __future__ import annotations
 
-import math
 import os
 import time
 from typing import Optional
@@ -101,10 +100,12 @@ def train(
         train_step_fn = make_device_train_step(
             cfg, nets, optimizers, total_steps, zca,
             axis_name=axis, n_shards=n_dev,
+            pseudo_label_mode=cfg.get("pseudo_label_mode", "sample"),
         )
     else:
         train_step_fn = make_train_step(
-            cfg, nets, optimizers, total_steps, zca, axis_name=axis
+            cfg, nets, optimizers, total_steps, zca, axis_name=axis,
+            pseudo_label_mode=cfg.get("pseudo_label_mode", "sample"),
         )
     eval_step_fn = make_eval_step(cfg, nets, zca, axis_name=axis)
     sharding = None
