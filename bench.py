@@ -54,7 +54,8 @@ def main() -> None:
     n_steps = int(os.environ.get("BENCH_STEPS", "30"))
     baseline = float(os.environ.get("BENCH_BASELINE_IMG_S", "2500"))
 
-    cfg = get_config("cifar10_4k")
+    cfg = get_config(os.environ.get("BENCH_CONFIG", "cifar10_4k"))
+    cfg.mesh_shape = (1,)  # bench measures one real chip
     cfg.batch_size = batch
     cfg.compute_dtype = dtype
     cfg.fused_clf_forward = os.environ.get("BENCH_FUSED_CLF", "0") == "1"
@@ -65,9 +66,10 @@ def main() -> None:
     if os.environ.get("BENCH_NO_ZCA", "0") == "1":
         cfg.zca = False
 
-    # CIFAR-shaped synthetic data (the step's cost is data-independent).
+    # Config-shaped synthetic data (the step's cost is data-independent).
     data = synthetic_dataset(
-        image_size=32, channels=3, num_classes=10,
+        image_size=cfg.image_size, channels=cfg.channels,
+        num_classes=cfg.num_classes,
         n_train=4096, n_test=256, num_labeled=512,
     )
     zca = fit_zca(data.x_unlabel[:2048]) if cfg.zca else None
@@ -119,7 +121,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "cifar10_triplegan_3player_step_throughput",
+                "metric": f"{cfg.name}_triplegan_3player_step_throughput",
                 "value": round(value, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(value / baseline, 3),

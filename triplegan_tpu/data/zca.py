@@ -39,8 +39,24 @@ def fit_zca(images: np.ndarray, eps: float = 1e-5) -> ZCAStats:
     (SURVEY.md §7 hard-part 5). Input pixels are first rescaled to [-1, 1],
     matching the on-device `rescale` transform, so whitening composes as
     `W @ (rescale(x) - mean)`.
+
+    N must comfortably exceed D = H·W·C: with N < D the covariance is
+    rank-deficient and the whitening matrix amplifies every null-space
+    direction by 1/sqrt(eps) (~316×), destroying unseen images — observed as
+    chance-level eval on tiny synthetic fits. Real CIFAR-10 (N = 50k,
+    D = 3072) is fine; a warning is emitted otherwise.
     """
     n = images.shape[0]
+    dims = int(np.prod(images.shape[1:]))
+    if n < dims:
+        import warnings
+
+        warnings.warn(
+            f"fit_zca: {n} samples < {dims} dims — covariance is rank-"
+            "deficient; whitening will amplify null directions on unseen "
+            "data. Fit on more samples or disable ZCA.",
+            stacklevel=2,
+        )
     flat = images.reshape(n, -1).astype(np.float64)
     flat = flat / 127.5 - 1.0
     mean = flat.mean(axis=0)
