@@ -99,10 +99,12 @@ def main() -> None:
         )
         next_batch = lambda: next(batches)
 
-    # Warmup: compile + 3 steps.
+    # Warmup: compile + 3 steps. Fence with a real device→host fetch:
+    # block_until_ready has been observed to return early on tunneled
+    # runtimes, inflating throughput by an order of magnitude.
     for _ in range(3):
         state, metrics = step(state, next_batch())
-    jax.block_until_ready(metrics)
+    float(metrics["loss_d"])
 
     profile_dir = os.environ.get("BENCH_PROFILE", "")
     if profile_dir:
@@ -110,7 +112,7 @@ def main() -> None:
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, next_batch())
-    jax.block_until_ready(metrics)
+    float(metrics["loss_d"])  # hard sync
     dt = time.perf_counter() - t0
     if profile_dir:
         jax.profiler.stop_trace()
