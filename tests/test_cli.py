@@ -1,0 +1,104 @@
+"""CLI surface tests: train → eval → sample → inception through
+``cli.main(argv)`` on a tiny synthetic config (the reference's entry-script
+equivalents, SURVEY.md §2.1 #1/#10/#11)."""
+
+import os
+
+import pytest
+
+from triplegan_tpu.cli import main
+
+TINY = [
+    "--set", "dataset=synthetic",
+    "--set", "image_size=16",
+    "--set", "num_labeled=40",
+    "--set", "z_dim=16",
+    "--set", "gen.widths=(32, 16)",
+    "--set", "disc.widths=(16, 16)",
+    "--set", "disc.strides=(1, 2)",
+    "--set", "clf.conv_blocks=((8, 8), (16,))",
+    "--set", "clf.tail=(16, 8)",
+    "--set", "batch_size=8",
+    "--set", "steps_per_epoch=2",
+    "--set", "epochs=1",
+    "--set", "zca=False",
+    "--set", "aug_translate=0",
+    "--set", "aug_flip=False",
+    "--set", "log_every=1",
+]
+
+
+@pytest.fixture(scope="module")
+def trained_workdir(tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("cli"))
+    main(["train", "--config", "mnist100", "--workdir", wd, *TINY])
+    return wd
+
+
+def test_cli_train_writes_artifacts(trained_workdir):
+    run_dir = os.path.join(trained_workdir, "mnist100")
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+    assert os.path.isdir(os.path.join(run_dir, "ckpt"))
+
+
+def test_cli_eval_from_checkpoint(trained_workdir, capsys):
+    main(["eval", "--config", "mnist100", "--workdir", trained_workdir, *TINY])
+    out = capsys.readouterr().out
+    assert "test error:" in out
+
+
+def test_cli_sample_writes_png(trained_workdir, tmp_path):
+    out = str(tmp_path / "grid.png")
+    main([
+        "sample", "--config", "mnist100", "--workdir", trained_workdir,
+        "--out", out, "--n-per-class", "3", *TINY,
+    ])
+    assert os.path.exists(out)
+
+
+def test_cli_inception_runs(trained_workdir, capsys):
+    main([
+        "inception", "--config", "mnist100", "--workdir", trained_workdir,
+        "--n-samples", "64", "--n-splits", "2", *TINY,
+    ])
+    assert "inception score" in capsys.readouterr().out
+
+
+def test_cli_eval_without_checkpoint_exits(tmp_path):
+    with pytest.raises(SystemExit, match="no checkpoint"):
+        main(["eval", "--config", "mnist100", "--workdir", str(tmp_path), *TINY])
+
+
+def test_cli_rejects_unknown_override(tmp_path):
+    with pytest.raises(SystemExit, match="unknown config key"):
+        main([
+            "train", "--config", "mnist100", "--workdir", str(tmp_path),
+            "--set", "bogus=1",
+        ])
+
+
+def test_cli_prepare_and_train_roundtrip(tmp_path):
+    import numpy as np
+    import struct
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rng = np.random.RandomState(0)
+    for split, n in [("train", 40), ("t10k", 16)]:
+        imgs = rng.randint(0, 255, size=(n, 28, 28), dtype=np.uint8)
+        labels = rng.randint(0, 10, size=n, dtype=np.uint8)
+        with open(raw / f"{split}-images-idx3-ubyte", "wb") as f:
+            f.write(struct.pack(">IIII", 2051, n, 28, 28))
+            f.write(imgs.tobytes())
+        with open(raw / f"{split}-labels-idx1-ubyte", "wb") as f:
+            f.write(struct.pack(">II", 2049, n))
+            f.write(labels.tobytes())
+    data_dir = str(tmp_path / "npz")
+    main(["prepare", "--dataset", "mnist", "--raw-dir", str(raw), "--data-dir", data_dir])
+    wd = str(tmp_path / "runs")
+    main([
+        "train", "--config", "mnist100", "--workdir", wd, "--data-dir", data_dir,
+        "--set", "num_labeled=20", "--set", "batch_size=8",
+        "--set", "steps_per_epoch=2", "--set", "epochs=1", "--set", "log_every=1",
+    ])
+    assert os.path.isdir(os.path.join(wd, "mnist100", "ckpt"))
