@@ -152,18 +152,21 @@ def train(
     last_metrics = {}
     test_error = None
     t_log = time.perf_counter()
+    steps_since_log = 0
     for it in range(start_step, end_step):
         if on_device:
             state, metrics = step(state, device_data)
         else:
             state, metrics = step(state, next(batches))
+        steps_since_log += 1
 
         if (it + 1) % cfg.log_every == 0 or it + 1 == end_step:
             metrics = jax.device_get(metrics)
             last_metrics = {k: float(v) for k, v in metrics.items()}
             dt = time.perf_counter() - t_log
             t_log = time.perf_counter()
-            imgs_per_sec = cfg.log_every * cfg.batch_size / max(dt, 1e-9)
+            imgs_per_sec = steps_since_log * cfg.batch_size / max(dt, 1e-9)
+            steps_since_log = 0
             logger.scalars(it + 1, {**last_metrics, "images_per_sec": imgs_per_sec})
             if verbose:
                 terms = " ".join(f"{k}={v:.4f}" for k, v in sorted(last_metrics.items()))
@@ -172,7 +175,7 @@ def train(
         epoch_done = (it + 1) % steps_per_epoch == 0
         epoch = (it + 1) // steps_per_epoch
         if epoch_done and epoch % cfg.eval_every_epochs == 0:
-            test_error = evaluate_error(eval_step, state, _test_stream(sampler, n_dev, sharding))
+            test_error = evaluate_error(eval_step, state, _test_stream(sampler, sharding))
             logger.scalars(it + 1, {"test_error": test_error})
             if verbose:
                 print(f"epoch {epoch}: test error {100 * test_error:.2f}%")
@@ -184,7 +187,7 @@ def train(
             ckpt.save(it + 1, state)
 
     if test_error is None:
-        test_error = evaluate_error(eval_step, state, _test_stream(sampler, n_dev, sharding))
+        test_error = evaluate_error(eval_step, state, _test_stream(sampler, sharding))
     ckpt.save(int(state.step), state)
     ckpt.close()
     logger.close()
@@ -227,8 +230,8 @@ def _apply_ddinit(cfg, nets, state, data: SemiSupervisedData, zca):
     return state.replace(params=new_params)
 
 
-def _test_stream(sampler: BatchSampler, n_dev: int, sharding):
-    """Test batches, padded to a multiple of the mesh size and staged."""
+def _test_stream(sampler: BatchSampler, sharding):
+    """Test batches, padded to a fixed shape and staged (sharded on a mesh)."""
     for batch in sampler.test_batches():
         if sharding is not None:
             batch = jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
