@@ -67,6 +67,40 @@ def test_sample_grid_shape(tmp_path):
     assert grid.dtype == np.uint8
 
 
+def test_conditional_generation_fidelity(tmp_path):
+    """The strongest integration check: after a short run, the trained
+    classifier must recognize the generator's class-conditional samples far
+    above chance — proving the label-conditioning path (z ⊕ onehot into G,
+    label planes into D, R_P into C) end-to-end. (On TPU at full scale this
+    reaches 99.3% — docs/DESIGN.md.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from triplegan_tpu.configs.base import make_networks
+
+    cfg = tiny_config()
+    cfg.workdir = str(tmp_path)
+    cfg.epochs = 25
+    cfg.steps_per_epoch = 15
+    cfg.eval_every_epochs = 25
+    cfg.ckpt_every_epochs = 25
+    cfg.alpha_p_warmup_epochs = 4
+    cfg.data_on_device = True
+    cfg.lr_c = 1e-3
+    cfg.lr_g = 1e-3
+    cfg.lr_decay_start_frac = 1.0
+    result = train(cfg, data=tiny_data(cfg, n_train=512, n_test=128), verbose=False)
+    state = result["state"]
+    gen, _, clf = make_networks(cfg)
+    n = 200
+    y = jnp.tile(jnp.arange(10, dtype=jnp.int32), n // 10)
+    z = jax.random.normal(jax.random.PRNGKey(7), (n, cfg.z_dim))
+    xg, _ = gen.apply(state.params["gen"], state.bn["gen"], z, y, train=False)
+    logits, _ = clf.apply(state.params["clf"], state.bn["clf"], xg, train=False)
+    acc = float(jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32)))
+    assert acc > 0.25, f"conditional fidelity {acc} barely above chance (0.1)"
+
+
 def test_train_fully_reproducible(tmp_path):
     """Two full runs with the same seed produce identical final metrics and
     test error (golden-run property; the reference's fixed-seed contract)."""
