@@ -72,7 +72,9 @@ def main() -> None:
         num_classes=cfg.num_classes,
         n_train=4096, n_test=256, num_labeled=512,
     )
-    zca = fit_zca(data.x_unlabel[:2048]) if cfg.zca else None
+    # Fit on all 4096 synthetic samples: >= 3072 pixel dims keeps the
+    # covariance full-rank, so the recorded bench artifact is warning-free.
+    zca = fit_zca(data.x_unlabel) if cfg.zca else None
 
     total_steps = 10_000
     nets = make_networks(cfg)
@@ -118,8 +120,10 @@ def main() -> None:
         jax.profiler.stop_trace()
 
     imgs_per_sec = n_steps * batch / dt
-    n_chips = jax.device_count()
-    value = imgs_per_sec / n_chips
+    # The benched step is a plain single-device jax.jit (mesh_shape=(1,)):
+    # exactly ONE chip executes it regardless of how many are visible, so
+    # per-chip throughput divides by 1, not jax.device_count().
+    value = imgs_per_sec / 1
     print(
         json.dumps(
             {

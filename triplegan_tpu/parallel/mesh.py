@@ -29,6 +29,16 @@ def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = Non
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if len(devices) < n_devices:
+                raise ValueError(
+                    f"make_mesh: requested {n_devices} devices but only "
+                    f"{len(devices)} are available — refusing to silently "
+                    f"build a smaller mesh (a mesh_shape=({n_devices},) run "
+                    "would otherwise train unsharded while logs claim "
+                    f"{n_devices}-way data parallelism). Set "
+                    "XLA_FLAGS=--xla_force_host_platform_device_count for "
+                    "CPU testing, or lower cfg.mesh_shape."
+                )
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (AXIS,))
 
