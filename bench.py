@@ -47,11 +47,18 @@ def main() -> None:
     from triplegan_tpu.data.zca import fit_zca
     from triplegan_tpu.train.schedule import make_optimizers
     from triplegan_tpu.train.state import create_state
-    from triplegan_tpu.train.step import make_device_train_step, make_train_step
+    from triplegan_tpu.train.step import (
+        make_device_train_step,
+        make_scan_train_step,
+        make_train_step,
+    )
 
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    # Defaults are the measured optimum (see docs/DESIGN.md perf journal):
+    # batch 256 edges out 512 post-subpixel-deconv; 10-step scan chunks
+    # remove per-step dispatch.
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    n_steps = int(os.environ.get("BENCH_STEPS", "30"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "8"))
     baseline = float(os.environ.get("BENCH_BASELINE_IMG_S", "2500"))
 
     cfg = get_config(os.environ.get("BENCH_CONFIG", "cifar10_4k"))
@@ -81,14 +88,18 @@ def main() -> None:
     opts = make_optimizers(cfg, total_steps)
     state = create_state(cfg, nets, opts)
     on_device = os.environ.get("BENCH_DEVICE_DATA", "1") == "1"
+    # scan only applies to the device-data step (host path needs a fresh
+    # batch per step); keep the throughput math consistent.
+    scan_steps = int(os.environ.get("BENCH_SCAN", "10")) if on_device else 1
     if on_device:
         # HBM-resident dataset, batches sampled inside the compiled step —
         # zero host↔device transfers in the hot loop.
         device_data = upload_device_data(data)
-        step = jax.jit(
-            make_device_train_step(cfg, nets, opts, total_steps, zca_stats=zca),
-            donate_argnums=0,
-        )
+        inner = make_device_train_step(cfg, nets, opts, total_steps, zca_stats=zca)
+        if scan_steps > 1:
+            # lax.scan chunk: one dispatch per scan_steps steps.
+            inner = make_scan_train_step(inner, scan_steps)
+        step = jax.jit(inner, donate_argnums=0)
         next_batch = lambda: device_data
     else:
         step = jax.jit(
@@ -119,7 +130,7 @@ def main() -> None:
     if profile_dir:
         jax.profiler.stop_trace()
 
-    imgs_per_sec = n_steps * batch / dt
+    imgs_per_sec = n_steps * scan_steps * batch / dt
     # The benched step is a plain single-device jax.jit (mesh_shape=(1,)):
     # exactly ONE chip executes it regardless of how many are visible, so
     # per-chip throughput divides by 1, not jax.device_count().

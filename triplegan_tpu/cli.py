@@ -115,14 +115,18 @@ def cmd_sample(args):
 
 def cmd_inception(args):
     """Inception-style score of class-conditional generation (SURVEY.md §6:
-    paper reports ≈5.08 for conditional CIFAR-10). Scores G's samples with
-    the checkpoint's own classifier in eval mode (no network access for an
-    Inception-v3 here; any scorer can be plugged in programmatically)."""
+    paper reports ≈5.08 for conditional CIFAR-10). Default scorer is the
+    checkpoint's own classifier in eval mode, fed exactly the same
+    preprocessing it saw in training (ZCA-whitened for zca configs);
+    ``--scorer-path`` plugs in an external scorer (Inception-v3 SavedModel
+    or .npz — see eval/inception.load_scorer), fed raw [-1,1] samples."""
     import jax
+    import jax.numpy as jnp
 
     from triplegan_tpu.ckpt import CheckpointManager
     from triplegan_tpu.configs.base import make_networks
-    from triplegan_tpu.eval.inception import inception_score
+    from triplegan_tpu.data.zca import ZCAStats, apply_zca
+    from triplegan_tpu.eval.inception import inception_score, load_scorer
     from triplegan_tpu.train.schedule import make_optimizers
     from triplegan_tpu.train.state import create_state
 
@@ -147,22 +151,45 @@ def cmd_inception(args):
         x, _ = gen.apply(state.params["gen"], state.bn["gen"], z, y, train=False)
         return x
 
-    @jax.jit
-    def score_logits(x):
-        logits, _ = clf.apply(
-            restored.params["clf"], restored.bn["clf"], x, train=False
-        )
-        return logits
-
     images = generate(restored, z, y)
+
+    if args.scorer_path:
+        score_logits = load_scorer(args.scorer_path)
+        label = "external-scored"
+    else:
+        # The classifier only ever saw whitened inputs during training
+        # (step.py whiten_gen) — score in the same input distribution.
+        zca = None
+        if cfg.zca:
+            cache = os.path.join(workdir, "zca_stats.npz")
+            if os.path.exists(cache):
+                zca = ZCAStats.load(cache)
+            else:
+                from triplegan_tpu.train.loop import _resolve_data, _resolve_zca
+
+                zca = _resolve_zca(cfg, _resolve_data(cfg), workdir)
+        zm = jnp.asarray(zca.mean) if zca else None
+        zw = jnp.asarray(zca.whiten) if zca else None
+
+        @jax.jit
+        def score_logits(x):
+            if zm is not None:
+                x = apply_zca(x, zm, zw)
+            logits, _ = clf.apply(
+                restored.params["clf"], restored.bn["clf"], x, train=False
+            )
+            return logits
+
+        label = "classifier-scored"
+
     mean, std = inception_score(score_logits, images, n_splits=args.n_splits)
-    print(f"inception score (classifier-scored): {mean:.3f} ± {std:.3f}")
+    print(f"inception score ({label}): {mean:.3f} ± {std:.3f}")
 
 
 def cmd_prepare(args):
     from triplegan_tpu.data.prepare import prepare
 
-    prepare(args.dataset, args.raw_dir, args.data_dir)
+    prepare(args.dataset, args.raw_dir, args.data_dir, download=args.download)
     print(f"prepared {args.dataset} → {args.data_dir}/{args.dataset}")
 
 
@@ -197,12 +224,22 @@ def main(argv=None):
     sp.add_argument("--n-samples", type=int, default=5000)
     sp.add_argument("--n-splits", type=int, default=10)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument(
+        "--scorer-path", default=None,
+        help="external scorer: Inception-v3 SavedModel dir or .npz "
+             "(see eval/inception.load_scorer)",
+    )
     sp.set_defaults(fn=cmd_inception)
 
     sp = sub.add_parser("prepare", help="convert raw dataset files to npz shards")
     sp.add_argument("--dataset", required=True)
     sp.add_argument("--raw-dir", required=True)
     sp.add_argument("--data-dir", required=True)
+    sp.add_argument(
+        "--download", action="store_true",
+        help="fetch + checksum-verify the raw files into --raw-dir first "
+             "(requires network)",
+    )
     sp.set_defaults(fn=cmd_prepare)
 
     args = p.parse_args(argv)

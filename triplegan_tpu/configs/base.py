@@ -35,6 +35,11 @@ def base_config() -> ml_collections.ConfigDict:
     cfg.rescale = True                        # map pixels to [-1, 1]
     cfg.aug_translate = 2                     # random translate-crop radius (px)
     cfg.aug_flip = True                       # random horizontal flip
+    cfg.aug_order = "zca_first"               # reference pipeline order: parse →
+                                              # normalize (ZCA) → augment
+                                              # (SURVEY.md §2.1 #3);
+                                              # "augment_first" = augment in raw
+                                              # pixel space, then whiten
 
     # --- networks (SURVEY.md Appendix B) ----------------------------------
     cfg.z_dim = 100
@@ -49,6 +54,11 @@ def base_config() -> ml_collections.ConfigDict:
     cfg.disc.input_noise = 0.05
     cfg.disc.input_dropout = 0.2
     cfg.disc.block_dropout = 0.2
+    cfg.disc.label_reconcat = True            # re-concat label planes at the
+                                              # intermediate feature maps after
+                                              # each stride-2 block (SURVEY.md
+                                              # Appendix B); False = input +
+                                              # GAP-head concat only
 
     cfg.clf = ml_collections.ConfigDict()
     cfg.clf.conv_blocks = ((128, 128, 128), (256, 256, 256))
@@ -60,6 +70,9 @@ def base_config() -> ml_collections.ConfigDict:
     cfg.alpha = 0.5                           # C-fake weight in the minimax
     cfg.alpha_p = 0.1                         # pseudo-discriminative weight α_P
     cfg.alpha_p_warmup_epochs = 200           # R_P off until this epoch
+    cfg.alpha_p_ramp_epochs = 0               # linear 0→α_P ramp length after
+                                              # warm-up (SURVEY.md Appendix A
+                                              # "ramped"); 0 = hard step gate
     cfg.non_saturating_g = True               # -log D(G) heuristic for L_G
     cfg.pseudo_label_mode = "sample"          # y_c ~ p_c(y|x_u); "argmax" for
                                               # deterministic pseudo-labels
@@ -77,6 +90,11 @@ def base_config() -> ml_collections.ConfigDict:
     cfg.adam_b2 = 0.999
     cfg.adam_eps = 1e-8
     cfg.lr_decay_start_frac = 0.5             # linear decay over final half
+    cfg.lr_c_anneal_factor = 1.0              # multiplicative anneal on C's lr
+    cfg.lr_c_anneal_epochs = 0                # ... applied every N epochs
+                                              # (SURVEY.md Appendix A: "C's
+                                              # optimizer possibly larger lr
+                                              # with annealing"); 0/1.0 = off
 
     # --- execution ---------------------------------------------------------
     cfg.compute_dtype = "float32"             # "bfloat16" for throughput runs
@@ -93,6 +111,10 @@ def base_config() -> ml_collections.ConfigDict:
                                               # per-step H2D); False = host
                                               # epoch-shuffled streaming
     cfg.mesh_shape = (1,)                     # data-parallel mesh over ICI
+    cfg.scan_steps = 1                        # >1: lax.scan this many steps
+                                              # into one XLA program (needs
+                                              # data_on_device; log/eval
+                                              # cadence rounds to the chunk)
     cfg.log_every = 100
     cfg.eval_every_epochs = 1
     cfg.ckpt_every_epochs = 10
@@ -137,6 +159,7 @@ def make_networks(cfg: ml_collections.ConfigDict):
         input_noise=cfg.disc.input_noise,
         input_dropout=cfg.disc.input_dropout,
         block_dropout=cfg.disc.block_dropout,
+        label_reconcat=bool(cfg.disc.get("label_reconcat", True)),
         use_pallas=cfg.use_pallas,
     )
     clf = Classifier(

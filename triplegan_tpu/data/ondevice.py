@@ -70,15 +70,25 @@ def standard_pipeline(
     zca_whiten: Optional[jax.Array] = None,
     train: bool = True,
     dtype=jnp.float32,
+    zca_first: bool = True,
 ) -> jax.Array:
-    """rescale → (augment if train) → (ZCA if stats given)."""
+    """rescale → normalize/augment in the configured order.
+
+    Default ``zca_first=True`` matches the reference pipeline order
+    (SURVEY.md §2.1 #3: parse → normalize (ZCA) → augment), i.e. the random
+    translate/flip act on *whitened* images; ``zca_first=False`` augments in
+    raw pixel space first (``cfg.aug_order="augment_first"``).
+    """
     x = rescale(x_uint8, dtype)
+    has_zca = zca_mean is not None and zca_whiten is not None
+    if has_zca and zca_first:
+        x = apply_zca(x, zca_mean, zca_whiten)
     if train and key is not None:
         kt, kf = jax.random.split(key)
         if translate > 0:
             x = random_translate(kt, x, translate)
         if flip:
             x = random_flip(kf, x)
-    if zca_mean is not None and zca_whiten is not None:
+    if has_zca and not zca_first:
         x = apply_zca(x, zca_mean, zca_whiten)
     return x

@@ -163,7 +163,11 @@ PREPARERS = {
 }
 
 
-def prepare(name: str, raw_dir: str, out_dir: str) -> None:
+def prepare(name: str, raw_dir: str, out_dir: str, download: bool = False) -> None:
     if name not in PREPARERS:
         raise KeyError(f"unknown dataset '{name}'; available: {sorted(PREPARERS)}")
+    if download:
+        from triplegan_tpu.data.download import download_dataset
+
+        download_dataset(name, raw_dir)
     PREPARERS[name](raw_dir, out_dir)

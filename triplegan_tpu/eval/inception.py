@@ -11,6 +11,7 @@ supplied Inception port at deploy time).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Tuple
 
 import jax
@@ -35,3 +36,54 @@ def inception_score(
         kl = np.sum(p * (np.log(p + 1e-12) - np.log(py + 1e-12)), axis=1)
         scores.append(float(np.exp(kl.mean())))
     return float(np.mean(scores)), float(np.std(scores))
+
+
+def load_scorer(path: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Load an ``images -> logits`` scorer from a local weights path.
+
+    The canonical IS scorer is an ImageNet Inception-v3; this environment
+    cannot fetch those weights, so the adapter accepts either format a
+    deploy-time user can provide (VERDICT r1 next-step #7):
+
+      * **TF SavedModel directory** (contains ``saved_model.pb``) — e.g. an
+        Inception-v3 export. Must accept a float32 NHWC image batch and
+        return class logits; images are bilinearly resized to the model's
+        expected spatial size (299 for Inception-v3) and passed in [-1, 1].
+      * **.npz of jnp arrays** — a linear-probe scorer: expects keys ``w``
+        (features, classes) and optional ``b``; images are flattened. This
+        is the simple interchange format for custom scorers and the unit
+        tests' stub.
+
+    Returns a function suitable for :func:`inception_score`.
+    """
+    if os.path.isdir(path):
+        if not os.path.exists(os.path.join(path, "saved_model.pb")):
+            raise FileNotFoundError(f"no saved_model.pb under {path}")
+        import tensorflow as tf  # local adapter only; never in the hot path
+
+        mod = tf.saved_model.load(path)
+        fn = mod.signatures.get("serving_default", None) if hasattr(mod, "signatures") else None
+        call = fn if fn is not None else mod
+
+        def tf_scorer(images):
+            x = np.asarray(images, np.float32)
+            size = 299
+            xt = tf.image.resize(tf.convert_to_tensor(x), (size, size))
+            out = call(xt)
+            if isinstance(out, dict):
+                out = next(iter(out.values()))
+            return jnp.asarray(out.numpy())
+
+        return tf_scorer
+
+    wts = np.load(path)
+    if "w" not in wts:
+        raise KeyError(f"{path}: expected an .npz with key 'w' (features, classes)")
+    w = jnp.asarray(wts["w"])
+    b = jnp.asarray(wts["b"]) if "b" in wts else jnp.zeros((w.shape[1],))
+
+    def npz_scorer(images):
+        x = jnp.reshape(jnp.asarray(images), (images.shape[0], -1))
+        return x @ w + b
+
+    return npz_scorer

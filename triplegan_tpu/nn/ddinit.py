@@ -104,6 +104,8 @@ def ddinit_discriminator(disc, params, x, y, init_scale=1.0):
             params[name], h, stride=s, init_scale=init_scale
         )
         h = L.leaky_relu(h, disc.lrelu_slope)
+        if s == 2 and disc.label_reconcat and i + 1 < len(disc.widths):
+            h = L.label_concat_spatial(h, y1h)
     h = L.global_avg_pool(h)
     h = jnp.concatenate([h, y1h], axis=-1)
     new_params["head"], _ = wn_dense_ddinit(params["head"], h, init_scale)

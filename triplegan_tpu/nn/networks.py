@@ -138,6 +138,10 @@ class Discriminator:
     input_dropout: float = 0.2
     block_dropout: float = 0.2
     lrelu_slope: float = 0.2
+    # Re-concat broadcast label planes at the intermediate feature maps after
+    # each stride-2 block (SURVEY.md Appendix B: "y re-concatenated at
+    # intermediate feature maps"); False = input + GAP-head concat only.
+    label_reconcat: bool = True
     use_pallas: bool = False
 
     def init(self, key: jax.Array) -> Tuple[Params, State]:
@@ -145,11 +149,13 @@ class Discriminator:
         ks = _split(key, len(self.widths) + 1)
         params: Params = {}
         in_ch = self.channels + self.num_classes  # label planes concatenated at input
-        for i, w in enumerate(self.widths):
+        for i, (w, s) in enumerate(zip(self.widths, self.strides)):
             params[f"conv{i}"] = L.conv2d_init(
                 ks[i], in_ch, w, kernel=self.kernel, weight_norm=True
             )
             in_ch = w
+            if s == 2 and self.label_reconcat and i + 1 < len(self.widths):
+                in_ch += self.num_classes
         # Head: GAP features ⊕ onehot(y) → 1 logit (label re-concat at the top).
         params["head"] = L.dense_init(
             ks[-1], self.widths[-1] + self.num_classes, 1, weight_norm=True
@@ -182,6 +188,10 @@ class Discriminator:
             )
             if s == 2:
                 h = L.dropout(keys[ki], h, self.block_dropout, train=train); ki += 1
+                if self.label_reconcat and i + 1 < len(self.widths):
+                    # Label planes re-injected at the downsampled resolution
+                    # (SURVEY.md Appendix B).
+                    h = L.label_concat_spatial(h, y1h)
         h = L.global_avg_pool(h)
         h = jnp.concatenate([h, y1h], axis=-1)
         logit = L.dense_apply(params["head"], h)

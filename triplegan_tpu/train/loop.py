@@ -27,7 +27,12 @@ from triplegan_tpu.eval.sample import class_grid_inputs, make_sample_fn, to_uint
 from triplegan_tpu.parallel import mesh as pmesh
 from triplegan_tpu.train.schedule import make_optimizers
 from triplegan_tpu.train.state import create_state, param_count
-from triplegan_tpu.train.step import make_device_train_step, make_eval_step, make_train_step
+from triplegan_tpu.train.step import (
+    make_device_train_step,
+    make_eval_step,
+    make_scan_train_step,
+    make_train_step,
+)
 from triplegan_tpu.utils.logging import MetricsLogger
 
 
@@ -110,10 +115,17 @@ def train(
     eval_step_fn = make_eval_step(cfg, nets, zca, axis_name=axis)
     sharding = None
     replicated = None
+    # lax.scan chunking: `chunk` steps per XLA dispatch (device-data only —
+    # the host pipeline needs a fresh batch per step).
+    chunk = int(cfg.get("scan_steps", 1)) if on_device else 1
+    scan_fn = make_scan_train_step(train_step_fn, chunk) if chunk > 1 else None
+    scan_step = None
     if n_dev > 1:
         mesh = pmesh.make_mesh(n_dev)
         if on_device:
             step = pmesh.shard_device_train_step(train_step_fn, mesh)
+            if scan_fn is not None:
+                scan_step = pmesh.shard_device_train_step(scan_fn, mesh)
         else:
             step = pmesh.shard_train_step(train_step_fn, mesh)
         eval_step = pmesh.shard_eval_step(eval_step_fn, mesh)
@@ -124,6 +136,8 @@ def train(
         # Donate the state: params/opt buffers are reused in place, halving
         # peak HBM for the step and removing a copy per iteration.
         step = jax.jit(train_step_fn, donate_argnums=0)
+        if scan_fn is not None:
+            scan_step = jax.jit(scan_fn, donate_argnums=0)
         eval_step = jax.jit(eval_step_fn)
 
     ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), max_to_keep=cfg.ckpt_keep)
@@ -137,7 +151,11 @@ def train(
         if verbose:
             print("applied data-dependent weight-norm init")
 
-    sampler = BatchSampler(data, cfg.batch_size, seed=cfg.seed)
+    # Fold the resume step into the sampler seed so a resumed run draws a
+    # fresh continuation of the data stream instead of replaying the early
+    # epochs (state restore is exact; this keeps the *stream* deterministic
+    # per (seed, resume-step) without host-side fast-forwarding).
+    sampler = BatchSampler(data, cfg.batch_size, seed=cfg.seed + int(state.step))
     if on_device:
         device_data = upload_device_data(data, sharding=replicated)
         batches = None
@@ -153,38 +171,45 @@ def train(
     test_error = None
     t_log = time.perf_counter()
     steps_since_log = 0
-    for it in range(start_step, end_step):
-        if on_device:
+    it = start_step
+    while it < end_step:
+        if scan_step is not None and it + chunk <= end_step:
+            state, metrics = scan_step(state, device_data)
+            taken = chunk
+        elif on_device:
             state, metrics = step(state, device_data)
+            taken = 1
         else:
             state, metrics = step(state, next(batches))
-        steps_since_log += 1
+            taken = 1
+        prev, it = it, it + taken
+        steps_since_log += taken
 
-        if (it + 1) % cfg.log_every == 0 or it + 1 == end_step:
+        if (it // cfg.log_every) > (prev // cfg.log_every) or it == end_step:
             metrics = jax.device_get(metrics)
             last_metrics = {k: float(v) for k, v in metrics.items()}
             dt = time.perf_counter() - t_log
             t_log = time.perf_counter()
             imgs_per_sec = steps_since_log * cfg.batch_size / max(dt, 1e-9)
             steps_since_log = 0
-            logger.scalars(it + 1, {**last_metrics, "images_per_sec": imgs_per_sec})
+            logger.scalars(it, {**last_metrics, "images_per_sec": imgs_per_sec})
             if verbose:
                 terms = " ".join(f"{k}={v:.4f}" for k, v in sorted(last_metrics.items()))
-                print(f"step {it + 1}/{total_steps} [{imgs_per_sec:.0f} img/s] {terms}")
+                print(f"step {it}/{total_steps} [{imgs_per_sec:.0f} img/s] {terms}")
 
-        epoch_done = (it + 1) % steps_per_epoch == 0
-        epoch = (it + 1) // steps_per_epoch
+        epoch_done = (it // steps_per_epoch) > (prev // steps_per_epoch)
+        epoch = it // steps_per_epoch
         if epoch_done and epoch % cfg.eval_every_epochs == 0:
             test_error = evaluate_error(eval_step, state, _test_stream(sampler, sharding))
-            logger.scalars(it + 1, {"test_error": test_error})
+            logger.scalars(it, {"test_error": test_error})
             if verbose:
                 print(f"epoch {epoch}: test error {100 * test_error:.2f}%")
             z, labels = class_grid_inputs(cfg, n_per_class=10, seed=cfg.seed)
             grid = to_uint8_grid(sample_fn(state, z, labels), cfg.num_classes, 10)
-            logger.image(it + 1, "samples", grid)
-            save_png(grid, os.path.join(workdir, f"samples_{it + 1:08d}.png"))
+            logger.image(it, "samples", grid)
+            save_png(grid, os.path.join(workdir, f"samples_{it:08d}.png"))
         if epoch_done and epoch % cfg.ckpt_every_epochs == 0:
-            ckpt.save(it + 1, state)
+            ckpt.save(it, state)
 
     if test_error is None:
         test_error = evaluate_error(eval_step, state, _test_stream(sampler, sharding))

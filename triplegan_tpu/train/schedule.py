@@ -26,11 +26,26 @@ def linear_decay_schedule(base_lr: float, decay_start: int, total_steps: int):
     return sched
 
 
-def alpha_p_schedule(alpha_p: float, warmup_steps: int):
-    """R_P weight: 0 until warm-up completes, then α_P (step gate)."""
+def alpha_p_schedule(alpha_p: float, warmup_steps: int, ramp_steps: int = 0):
+    """R_P weight: 0 until warm-up completes, then a linear 0→α_P ramp over
+    ``ramp_steps`` (SURVEY.md Appendix A: "enabled/ramped after a warm-up");
+    ramp_steps=0 degenerates to the hard step gate."""
 
     def sched(step):
-        return jnp.where(step >= warmup_steps, alpha_p, 0.0)
+        if ramp_steps <= 0:
+            return jnp.where(step >= warmup_steps, alpha_p, 0.0)
+        frac = jnp.clip((step - warmup_steps) / ramp_steps, 0.0, 1.0)
+        return alpha_p * frac
+
+    return sched
+
+
+def anneal_every_schedule(base_sched, factor: float, every_steps: int):
+    """Multiplicative anneal stacked on another schedule: lr(t) =
+    base(t) · factor^⌊t / every⌋ (SURVEY.md Appendix A: C's lr annealing)."""
+
+    def sched(count):
+        return base_sched(count) * jnp.power(factor, count // every_steps)
 
     return sched
 
@@ -38,12 +53,26 @@ def alpha_p_schedule(alpha_p: float, warmup_steps: int):
 def make_optimizers(cfg, total_steps: int) -> Dict[str, optax.GradientTransformation]:
     decay_start = int(cfg.lr_decay_start_frac * total_steps)
 
-    def adam(lr):
+    def adam(lr, anneal_factor: float = 1.0, anneal_epochs: int = 0):
+        sched = linear_decay_schedule(lr, decay_start, total_steps)
+        if anneal_factor != 1.0 and anneal_epochs > 0:
+            steps_per_epoch = max(total_steps // max(int(cfg.epochs), 1), 1)
+            sched = anneal_every_schedule(
+                sched, anneal_factor, anneal_epochs * steps_per_epoch
+            )
         return optax.adam(
-            learning_rate=linear_decay_schedule(lr, decay_start, total_steps),
+            learning_rate=sched,
             b1=cfg.adam_b1,
             b2=cfg.adam_b2,
             eps=cfg.adam_eps,
         )
 
-    return {"gen": adam(cfg.lr_g), "disc": adam(cfg.lr_d), "clf": adam(cfg.lr_c)}
+    return {
+        "gen": adam(cfg.lr_g),
+        "disc": adam(cfg.lr_d),
+        "clf": adam(
+            cfg.lr_c,
+            float(cfg.get("lr_c_anneal_factor", 1.0)),
+            int(cfg.get("lr_c_anneal_epochs", 0)),
+        ),
+    }

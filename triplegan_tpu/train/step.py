@@ -64,7 +64,12 @@ def make_train_step(
     warmup_steps = int(cfg.alpha_p_warmup_epochs) * max(
         total_steps // max(int(cfg.epochs), 1), 1
     )
-    ap_sched = alpha_p_schedule(float(cfg.alpha_p), warmup_steps)
+    steps_per_epoch = max(total_steps // max(int(cfg.epochs), 1), 1)
+    ap_sched = alpha_p_schedule(
+        float(cfg.alpha_p),
+        warmup_steps,
+        int(cfg.get("alpha_p_ramp_epochs", 0)) * steps_per_epoch,
+    )
     decay_start = int(cfg.lr_decay_start_frac * total_steps)
     lr_now = linear_decay_schedule(1.0, decay_start, total_steps)  # unit lr for logging
 
@@ -85,6 +90,7 @@ def make_train_step(
             zca_whiten=zca_whiten,
             train=True,
             dtype=cdt,
+            zca_first=cfg.get("aug_order", "zca_first") == "zca_first",
         )
 
     def whiten_gen(x_raw):
@@ -314,6 +320,29 @@ def make_device_train_step(
         return core(state, batch)
 
     return step
+
+
+def make_scan_train_step(step_fn, n_steps: int):
+    """Chain ``n_steps`` device-data steps into ONE XLA program via
+    ``lax.scan`` — zero Python dispatch between steps in the chunk.
+
+    Requires a device-resident-data step (``make_device_train_step``): the
+    ``data`` operand is loop-invariant; per-step batches are drawn inside the
+    compiled body keyed by the advancing ``state.step``, so the scanned chunk
+    computes exactly the same sequence of updates as ``n_steps`` separate
+    calls. Returns the LAST step's metrics (matching what a log interval
+    fetches).
+    """
+
+    def scanned(state, data):
+        def body(s, _):
+            s2, m = step_fn(s, data)
+            return s2, m
+
+        state, ms = lax.scan(body, state, None, length=n_steps)
+        return state, jax.tree.map(lambda a: a[-1], ms)
+
+    return scanned
 
 
 def make_eval_step(cfg, nets, zca_stats=None, axis_name: Optional[str] = None):
