@@ -47,6 +47,20 @@ def test_cli_eval_from_checkpoint(trained_workdir, capsys):
     assert "test error:" in out
 
 
+def test_cli_eval_honors_mesh_shape(trained_workdir, capsys):
+    """cmd_eval must run the sharded eval path (and agree with 1-device)
+    when mesh_shape is set — 8 fake CPU devices from conftest."""
+    main(["eval", "--config", "mnist100", "--workdir", trained_workdir, *TINY])
+    single = capsys.readouterr().out
+    main([
+        "eval", "--config", "mnist100", "--workdir", trained_workdir, *TINY,
+        "--set", "mesh_shape=(8,)", "--set", "batch_size=16",
+    ])
+    sharded = capsys.readouterr().out
+    assert "test error:" in sharded
+    assert single.strip().splitlines()[-1] == sharded.strip().splitlines()[-1]
+
+
 def test_cli_sample_writes_png(trained_workdir, tmp_path):
     out = str(tmp_path / "grid.png")
     main([

@@ -60,11 +60,13 @@ def cmd_train(args):
 
 def cmd_eval(args):
     import jax
+    import numpy as np
 
     from triplegan_tpu.ckpt import CheckpointManager
     from triplegan_tpu.configs.base import make_networks
     from triplegan_tpu.data.pipeline import BatchSampler
     from triplegan_tpu.eval.metrics import evaluate_error
+    from triplegan_tpu.parallel import mesh as pmesh
     from triplegan_tpu.train.loop import _resolve_data, _resolve_zca
     from triplegan_tpu.train.schedule import make_optimizers
     from triplegan_tpu.train.state import create_state
@@ -80,9 +82,28 @@ def cmd_eval(args):
     restored = ckpt.restore(state)
     if restored is None:
         sys.exit(f"no checkpoint under {workdir}/ckpt")
-    eval_step = jax.jit(make_eval_step(cfg, nets, zca))
+    # Honor cfg.mesh_shape like the train loop (make_mesh raises rather than
+    # silently under-building on insufficient devices).
+    n_dev = int(np.prod(cfg.mesh_shape))
+    sharding = None
+    if n_dev > 1:
+        mesh = pmesh.make_mesh(n_dev)
+        eval_step = pmesh.shard_eval_step(
+            make_eval_step(cfg, nets, zca, axis_name=pmesh.AXIS), mesh
+        )
+        sharding = pmesh.batch_sharding(mesh)
+        restored = jax.device_put(
+            restored, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+    else:
+        eval_step = jax.jit(make_eval_step(cfg, nets, zca))
     sampler = BatchSampler(data, cfg.batch_size, seed=cfg.seed)
-    err = evaluate_error(eval_step, restored, sampler.test_batches())
+    batches = sampler.test_batches()
+    if sharding is not None:
+        batches = (
+            jax.tree.map(lambda a: jax.device_put(a, sharding), b) for b in batches
+        )
+    err = evaluate_error(eval_step, restored, batches)
     print(f"test error: {100 * err:.2f}%")
 
 

@@ -356,7 +356,9 @@ def dropout(key: Optional[jax.Array], x: jax.Array, rate: float, *, train: bool)
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(key, p=keep, shape=x.shape)
-    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+    # multiply (not select): the scaled mask fuses into neighboring
+    # elementwise chains and its VJP is a plain multiply too.
+    return x * (mask.astype(x.dtype) * (1.0 / keep))
 
 
 # ---------------------------------------------------------------------------
