@@ -123,8 +123,8 @@ def test_fused_clf_forward_mode():
     assert moved
 
 
-def test_models_alias_package():
-    from triplegan_tpu.models import Classifier, Discriminator, Generator, make_networks
+def test_make_networks_types():
+    from triplegan_tpu.nn.networks import Classifier, Discriminator, Generator
 
     cfg = tiny_config()
     gen, disc, clf = make_networks(cfg)
