@@ -49,7 +49,7 @@ def main() -> None:
     from triplegan_tpu.train.state import create_state
     from triplegan_tpu.train.step import (
         make_device_train_step,
-        make_scan_train_step,
+        make_scan_device_train_step,
         make_train_step,
     )
 
@@ -95,10 +95,14 @@ def main() -> None:
         # HBM-resident dataset, batches sampled inside the compiled step —
         # zero host↔device transfers in the hot loop.
         device_data = upload_device_data(data)
-        inner = make_device_train_step(cfg, nets, opts, total_steps, zca_stats=zca)
         if scan_steps > 1:
-            # lax.scan chunk: one dispatch per scan_steps steps.
-            inner = make_scan_train_step(inner, scan_steps)
+            # lax.scan chunk with hoisted batch sampling: one dispatch and
+            # one big gather per scan_steps steps.
+            inner = make_scan_device_train_step(
+                cfg, nets, opts, total_steps, scan_steps, zca_stats=zca
+            )
+        else:
+            inner = make_device_train_step(cfg, nets, opts, total_steps, zca_stats=zca)
         step = jax.jit(inner, donate_argnums=0)
         next_batch = lambda: device_data
     else:

@@ -51,11 +51,16 @@ def test_subpixel_deconv_equals_conv_transpose(k, s, h, cin, cout):
 # ---------------------------------------------------------------------------
 
 
-def test_scan_train_step_equals_sequential_steps():
+@pytest.mark.parametrize("variant", ["generic", "hoisted"])
+def test_scan_train_step_equals_sequential_steps(variant):
     from triplegan_tpu.data.pipeline import upload_device_data
     from triplegan_tpu.train.schedule import make_optimizers
     from triplegan_tpu.train.state import create_state
-    from triplegan_tpu.train.step import make_device_train_step, make_scan_train_step
+    from triplegan_tpu.train.step import (
+        make_device_train_step,
+        make_scan_device_train_step,
+        make_scan_train_step,
+    )
 
     cfg = tiny_config()
     cfg.data_on_device = True
@@ -68,7 +73,11 @@ def test_scan_train_step_equals_sequential_steps():
     for _ in range(4):
         s_seq, m_seq = jax.jit(step)(s_seq, data)
 
-    scanned = jax.jit(make_scan_train_step(step, 4))
+    if variant == "generic":
+        scanned = jax.jit(make_scan_train_step(step, 4))
+    else:
+        # hoisted sampling must reproduce the same batch sequence exactly
+        scanned = jax.jit(make_scan_device_train_step(cfg, nets, opts, 16, 4))
     s_scan, m_scan = scanned(create_state(cfg, nets, opts), data)
 
     assert int(s_scan.step) == int(s_seq.step) == 4

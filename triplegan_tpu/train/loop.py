@@ -30,7 +30,7 @@ from triplegan_tpu.train.state import create_state, param_count
 from triplegan_tpu.train.step import (
     make_device_train_step,
     make_eval_step,
-    make_scan_train_step,
+    make_scan_device_train_step,
     make_train_step,
 )
 from triplegan_tpu.utils.logging import MetricsLogger
@@ -116,9 +116,16 @@ def train(
     sharding = None
     replicated = None
     # lax.scan chunking: `chunk` steps per XLA dispatch (device-data only —
-    # the host pipeline needs a fresh batch per step).
+    # the host pipeline needs a fresh batch per step), with the chunk's
+    # batch sampling hoisted into one vmapped gather.
     chunk = int(cfg.get("scan_steps", 1)) if on_device else 1
-    scan_fn = make_scan_train_step(train_step_fn, chunk) if chunk > 1 else None
+    scan_fn = None
+    if chunk > 1:
+        scan_fn = make_scan_device_train_step(
+            cfg, nets, optimizers, total_steps, chunk, zca,
+            axis_name=axis, n_shards=n_dev,
+            pseudo_label_mode=cfg.get("pseudo_label_mode", "sample"),
+        )
     scan_step = None
     if n_dev > 1:
         mesh = pmesh.make_mesh(n_dev)

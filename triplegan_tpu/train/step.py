@@ -287,12 +287,24 @@ def make_device_train_step(
     core = make_train_step(
         cfg, nets, optimizers, total_steps, zca_stats, axis_name, pseudo_label_mode
     )
+    sample = _make_batch_sampler(cfg, axis_name, n_shards)
+
+    def step(state: TrainState, data) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        return core(state, sample(state.rng, state.step, data))
+
+    return step
+
+
+def _make_batch_sampler(cfg, axis_name: Optional[str], n_shards: int):
+    """(base_rng, step_no, device_data) -> per-player batch pytree, drawn
+    with per-step key folds so any grouping of steps (one-by-one, vmapped
+    for a scan chunk) yields the identical sample sequence."""
     b = int(cfg.batch_size) // max(n_shards, 1)
     z_dim = int(cfg.z_dim)
     n_classes = int(cfg.num_classes)
 
-    def step(state: TrainState, data) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        rng = jax.random.fold_in(state.rng, state.step)
+    def sample(base_rng, step_no, data):
+        rng = jax.random.fold_in(base_rng, step_no)
         rng = jax.random.fold_in(rng, 0x5A5A)  # sampling domain, disjoint from core's keys
         if axis_name is not None:
             rng = jax.random.fold_in(rng, lax.axis_index(axis_name))
@@ -316,10 +328,9 @@ def make_device_train_step(
                 **noise(kn),
             }
 
-        batch = {"d": stream(kd), "c": stream(kc), "g": noise(kg)}
-        return core(state, batch)
+        return {"d": stream(kd), "c": stream(kc), "g": noise(kg)}
 
-    return step
+    return sample
 
 
 def make_scan_train_step(step_fn, n_steps: int):
@@ -340,6 +351,38 @@ def make_scan_train_step(step_fn, n_steps: int):
             return s2, m
 
         state, ms = lax.scan(body, state, None, length=n_steps)
+        return state, jax.tree.map(lambda a: a[-1], ms)
+
+    return scanned
+
+
+def make_scan_device_train_step(
+    cfg,
+    nets,
+    optimizers,
+    total_steps: int,
+    n_steps: int,
+    zca_stats=None,
+    axis_name: Optional[str] = None,
+    pseudo_label_mode: str = "sample",
+    n_shards: int = 1,
+):
+    """Scan chunk with HOISTED batch sampling: all ``n_steps`` per-player
+    batches are drawn up front as one vmapped gather (one big HBM gather
+    instead of n small ones inside the loop body — the in-body gathers
+    profiled at ~1 ms/step), then ``lax.scan`` consumes them. Uses the same
+    per-step key folds as ``make_device_train_step``, so the sample sequence
+    — and therefore the whole update trajectory — is identical.
+    """
+    core = make_train_step(
+        cfg, nets, optimizers, total_steps, zca_stats, axis_name, pseudo_label_mode
+    )
+    sample = _make_batch_sampler(cfg, axis_name, n_shards)
+
+    def scanned(state: TrainState, data) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        steps = state.step + jnp.arange(n_steps, dtype=state.step.dtype)
+        batches = jax.vmap(lambda s: sample(state.rng, s, data))(steps)
+        state, ms = lax.scan(core, state, batches)
         return state, jax.tree.map(lambda a: a[-1], ms)
 
     return scanned
