@@ -12,8 +12,15 @@ Baseline: the reference publishes no throughput (BASELINE.md). We use an
 estimated 2,500 img/s for the TF-1.x reference on a single A100 (three
 sequential sess.runs of small-conv graphs, f32) as the denominator;
 the driver-set target is ≥5× that per chip. Override via
-BENCH_BASELINE_IMG_S. Tunables: BENCH_BATCH (default 512), BENCH_DTYPE
-(default bfloat16), BENCH_STEPS (default 30).
+BENCH_BASELINE_IMG_S.
+
+Tunables: BENCH_BATCH (default 256), BENCH_DTYPE (default bfloat16),
+BENCH_SCAN (default 10 — train steps per lax.scan chunk / dispatch),
+BENCH_STEPS (default 8 — number of *dispatches*, so the timed region runs
+BENCH_STEPS × BENCH_SCAN train steps), BENCH_DEVICE_DATA (default 1 —
+HBM-resident dataset; 0 = host-fed double-buffered pipeline, where
+BENCH_SCAN is forced to 1), BENCH_RBG, BENCH_FUSED_CLF, BENCH_PALLAS,
+BENCH_NO_AUG, BENCH_NO_ZCA, BENCH_CONFIG, BENCH_PROFILE.
 """
 
 from __future__ import annotations

@@ -61,6 +61,16 @@ def test_cli_eval_honors_mesh_shape(trained_workdir, capsys):
     assert single.strip().splitlines()[-1] == sharded.strip().splitlines()[-1]
 
 
+def test_cli_eval_rejects_indivisible_mesh_batch(trained_workdir):
+    """Sharded eval must fail with the same clear message train gives when
+    batch_size doesn't divide over the mesh, not an internal sharding error."""
+    with pytest.raises(SystemExit, match="batch_size=12 must divide"):
+        main([
+            "eval", "--config", "mnist100", "--workdir", trained_workdir, *TINY,
+            "--set", "mesh_shape=(8,)", "--set", "batch_size=12",
+        ])
+
+
 def test_cli_sample_writes_png(trained_workdir, tmp_path):
     out = str(tmp_path / "grid.png")
     main([

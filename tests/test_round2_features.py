@@ -224,6 +224,54 @@ def test_download_fetch_and_checksum(tmp_path):
     assert not os.path.exists(raw / "bad.bin")
 
 
+def test_download_cached_archive_still_extracts(tmp_path):
+    """A checksum-valid pre-existing archive (copied from elsewhere, or left
+    by a run interrupted between download and unpack) must still be
+    extracted on the next fetch."""
+    import tarfile
+
+    from triplegan_tpu.data.download import Source, fetch, md5_of
+
+    payload = tmp_path / "inner.txt"
+    payload.write_bytes(b"raw batch bytes")
+    archive = tmp_path / "data.tar.gz"
+    with tarfile.open(archive, "w:gz") as tf:
+        tf.add(payload, arcname="extracted/inner.txt")
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    # Simulate the cached case: archive already in raw_dir, never extracted.
+    (raw / "data.tar.gz").write_bytes(archive.read_bytes())
+    src = Source(
+        url=f"file://{archive}", filename="data.tar.gz",
+        md5=md5_of(str(archive)), extract=True,
+    )
+    fetch(src, str(raw), progress=False)
+    assert (raw / "extracted" / "inner.txt").read_bytes() == b"raw batch bytes"
+
+
+def test_download_rejects_path_traversal_archive(tmp_path):
+    """extractall(filter='data') must refuse ../-escaping members."""
+    import tarfile
+
+    from triplegan_tpu.data.download import Source, fetch, md5_of
+
+    payload = tmp_path / "evil.txt"
+    payload.write_bytes(b"escape")
+    archive = tmp_path / "evil.tar.gz"
+    with tarfile.open(archive, "w:gz") as tf:
+        tf.add(payload, arcname="../evil.txt")
+
+    raw = tmp_path / "raw"
+    src = Source(
+        url=f"file://{archive}", filename="evil.tar.gz",
+        md5=md5_of(str(archive)), extract=True,
+    )
+    with pytest.raises(tarfile.OutsideDestinationError):
+        fetch(src, str(raw), progress=False)
+    assert not (tmp_path / "evil_out").exists()
+
+
 def test_download_registry_covers_all_datasets():
     from triplegan_tpu.data.download import SOURCES
     from triplegan_tpu.data.prepare import PREPARERS
@@ -252,6 +300,29 @@ def test_load_scorer_npz_and_inception_score(tmp_path):
     assert logits.shape == (20, 10)
     mean, std = inception_score(scorer, images, n_splits=4)
     assert 1.0 <= mean <= 10.0 and std >= 0.0
+
+
+def test_inception_score_chunks_scorer_calls():
+    """The scorer runs in bounded chunks (an Inception-v3 SavedModel resizes
+    to 299² f32 — one call over 5k samples would be ~5 GB), and chunking
+    must not change the score."""
+    from triplegan_tpu.eval.inception import inception_score
+
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.randn(20, 4, 4, 1), jnp.float32)
+    w = jnp.asarray(rng.randn(16, 10), jnp.float32)
+    calls = []
+
+    def scorer(x):
+        calls.append(int(x.shape[0]))
+        return jnp.reshape(x, (x.shape[0], -1)) @ w
+
+    chunked = inception_score(scorer, images, n_splits=4, batch_size=8)
+    assert calls == [8, 8, 4]
+    calls.clear()
+    whole = inception_score(scorer, images, n_splits=4, batch_size=1000)
+    assert calls == [20]
+    np.testing.assert_allclose(chunked, whole, rtol=1e-6)
 
 
 def test_cli_inception_scorer_path(tmp_path):

@@ -67,7 +67,7 @@ def cmd_eval(args):
     from triplegan_tpu.data.pipeline import BatchSampler
     from triplegan_tpu.eval.metrics import evaluate_error
     from triplegan_tpu.parallel import mesh as pmesh
-    from triplegan_tpu.train.loop import _resolve_data, _resolve_zca
+    from triplegan_tpu.train.loop import _resolve_data, _resolve_zca, _test_stream
     from triplegan_tpu.train.schedule import make_optimizers
     from triplegan_tpu.train.state import create_state
     from triplegan_tpu.train.step import make_eval_step
@@ -87,6 +87,11 @@ def cmd_eval(args):
     n_dev = int(np.prod(cfg.mesh_shape))
     sharding = None
     if n_dev > 1:
+        if cfg.batch_size % n_dev != 0:
+            sys.exit(
+                f"batch_size={cfg.batch_size} must divide evenly over the "
+                f"{n_dev}-device data mesh"
+            )
         mesh = pmesh.make_mesh(n_dev)
         eval_step = pmesh.shard_eval_step(
             make_eval_step(cfg, nets, zca, axis_name=pmesh.AXIS), mesh
@@ -98,12 +103,7 @@ def cmd_eval(args):
     else:
         eval_step = jax.jit(make_eval_step(cfg, nets, zca))
     sampler = BatchSampler(data, cfg.batch_size, seed=cfg.seed)
-    batches = sampler.test_batches()
-    if sharding is not None:
-        batches = (
-            jax.tree.map(lambda a: jax.device_put(a, sharding), b) for b in batches
-        )
-    err = evaluate_error(eval_step, restored, batches)
+    err = evaluate_error(eval_step, restored, _test_stream(sampler, sharding))
     print(f"test error: {100 * err:.2f}%")
 
 

@@ -77,21 +77,29 @@ def fetch(src: Source, raw_dir: str, progress: bool = True) -> str:
 
     os.makedirs(raw_dir, exist_ok=True)
     path = os.path.join(raw_dir, src.filename)
-    if os.path.exists(path) and md5_of(path) == src.md5:
-        return path
-    tmp = path + ".part"
-    urllib.request.urlretrieve(src.url, tmp)
-    got = md5_of(tmp)
-    if got != src.md5:
-        os.remove(tmp)
-        raise IOError(
-            f"checksum mismatch for {src.url}: expected {src.md5}, got {got}"
-        )
-    os.replace(tmp, path)
+    cached = os.path.exists(path) and md5_of(path) == src.md5
+    if not cached:
+        tmp = path + ".part"
+        urllib.request.urlretrieve(src.url, tmp)
+        got = md5_of(tmp)
+        if got != src.md5:
+            os.remove(tmp)
+            raise IOError(
+                f"checksum mismatch for {src.url}: expected {src.md5}, got {got}"
+            )
+        os.replace(tmp, path)
     if src.extract:
+        # Always (re-)extract, even on a checksum-valid cached archive:
+        # extraction is idempotent, and a pre-copied or interrupted-run
+        # tarball would otherwise never be unpacked. filter="data" rejects
+        # path-traversal members (and silences the 3.12+ default-filter
+        # deprecation); older Pythons lack the kwarg.
         with tarfile.open(path) as tf:
-            tf.extractall(raw_dir)
-    if progress:
+            try:
+                tf.extractall(raw_dir, filter="data")
+            except TypeError:
+                tf.extractall(raw_dir)
+    if progress and not cached:
         print(f"downloaded {src.filename} ({src.md5})")
     return path
 

@@ -23,10 +23,20 @@ def inception_score(
     logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
     images: jnp.ndarray,
     n_splits: int = 10,
+    batch_size: int = 256,
 ) -> Tuple[float, float]:
     """Mean ± std of the score over `n_splits` disjoint splits (the standard
-    Salimans et al. protocol)."""
-    probs = np.asarray(jax.nn.softmax(logits_fn(images), axis=-1), dtype=np.float64)
+    Salimans et al. protocol). The scorer is driven in ``batch_size`` chunks
+    so 5k samples never materialize one giant forward (an Inception-v3
+    scorer resizes to 299²×3 f32 — the full set at once would be ~5 GB)."""
+    chunks = [
+        np.asarray(
+            jax.nn.softmax(logits_fn(images[i : i + batch_size]), axis=-1),
+            dtype=np.float64,
+        )
+        for i in range(0, images.shape[0], batch_size)
+    ]
+    probs = np.concatenate(chunks, axis=0)
     n = probs.shape[0]
     split_size = max(n // n_splits, 1)
     scores = []
