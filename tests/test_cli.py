@@ -88,6 +88,31 @@ def test_cli_inception_runs(trained_workdir, capsys):
     assert "inception score" in capsys.readouterr().out
 
 
+def test_cli_eval_restores_without_repeating_overrides(tmp_path, capsys):
+    """Regression: a checkpoint trained with non-default, shape-affecting
+    overrides (prng_impl=rbg stores a (4,)-word key; threefry is (2,)) must
+    be restorable by eval/sample with NO --set repeated — the train driver
+    persists config.json and the CLI merges it back."""
+    import jax
+
+    wd = str(tmp_path / "runs")
+    try:
+        main([
+            "train", "--config", "mnist100", "--workdir", wd, *TINY,
+            "--set", "prng_impl=rbg",
+        ])
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+        assert os.path.exists(os.path.join(wd, "mnist100", "config.json"))
+        main(["eval", "--config", "mnist100", "--workdir", wd])
+        assert "test error:" in capsys.readouterr().out
+        out = str(tmp_path / "grid.png")
+        main(["sample", "--config", "mnist100", "--workdir", wd,
+              "--out", out, "--n-per-class", "2"])
+        assert os.path.exists(out)
+    finally:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+
 def test_cli_eval_without_checkpoint_exits(tmp_path):
     with pytest.raises(SystemExit, match="no checkpoint"):
         main(["eval", "--config", "mnist100", "--workdir", str(tmp_path), *TINY])

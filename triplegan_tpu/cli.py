@@ -40,15 +40,38 @@ def _apply_overrides(cfg, overrides):
     return cfg
 
 
-def _load_cfg(args):
+def _load_cfg(args, from_workdir: bool = False):
+    """Resolve the effective config. With ``from_workdir`` (eval/sample/
+    inception), the ``config.json`` the train driver persisted in the run
+    directory is merged first, so the checkpoint's template (prng impl,
+    network widths, dtype, …) is rebuilt exactly without the user repeating
+    every ``--set``; explicit CLI paths and ``--set`` still win."""
     from triplegan_tpu.configs import get_config
+    from triplegan_tpu.configs.base import merge_saved
 
     cfg = get_config(args.config)
+    if from_workdir:
+        wd = getattr(args, "workdir", None) or cfg.workdir
+        saved = os.path.join(wd, cfg.name, "config.json")
+        if os.path.exists(saved):
+            merge_saved(cfg, saved)
     if getattr(args, "workdir", None):
         cfg.workdir = args.workdir
     if getattr(args, "data_dir", None):
         cfg.data_dir = args.data_dir
     return _apply_overrides(cfg, getattr(args, "set", None))
+
+
+def _apply_runtime(cfg):
+    """Apply config fields that must be set before any state/key is built
+    (mirrors the train driver, train/loop.py): a checkpoint written under
+    ``prng_impl="rbg"`` stores a (4,)-word key and is unrestorable into a
+    threefry (2,)-word template."""
+    import jax
+
+    if cfg.get("prng_impl", "threefry") != "threefry":
+        jax.config.update("jax_default_prng_impl", cfg.prng_impl)
+    return cfg
 
 
 def cmd_train(args):
@@ -72,7 +95,7 @@ def cmd_eval(args):
     from triplegan_tpu.train.state import create_state
     from triplegan_tpu.train.step import make_eval_step
 
-    cfg = _load_cfg(args)
+    cfg = _apply_runtime(_load_cfg(args, from_workdir=True))
     workdir = os.path.join(cfg.workdir, cfg.name)
     data = _resolve_data(cfg)
     zca = _resolve_zca(cfg, data, workdir)
@@ -119,7 +142,7 @@ def cmd_sample(args):
     from triplegan_tpu.train.schedule import make_optimizers
     from triplegan_tpu.train.state import create_state
 
-    cfg = _load_cfg(args)
+    cfg = _apply_runtime(_load_cfg(args, from_workdir=True))
     workdir = os.path.join(cfg.workdir, cfg.name)
     nets = make_networks(cfg)
     state = create_state(cfg, nets, make_optimizers(cfg, 1))
@@ -151,7 +174,7 @@ def cmd_inception(args):
     from triplegan_tpu.train.schedule import make_optimizers
     from triplegan_tpu.train.state import create_state
 
-    cfg = _load_cfg(args)
+    cfg = _apply_runtime(_load_cfg(args, from_workdir=True))
     workdir = os.path.join(cfg.workdir, cfg.name)
     nets = make_networks(cfg)
     gen, _, clf = nets

@@ -123,6 +123,47 @@ def base_config() -> ml_collections.ConfigDict:
     return cfg
 
 
+def save_config(cfg: ml_collections.ConfigDict, path: str) -> None:
+    """Persist the resolved config as JSON. The train driver writes
+    ``workdir/<name>/config.json`` so that eval/sample/inception can rebuild
+    the exact checkpoint template (RNG impl, network widths, …) without the
+    user repeating every ``--set`` override — the reference's ``Config``
+    object travels implicitly between its Training/ and Testing/ scripts."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(cfg.to_dict(), f, indent=2, default=list, sort_keys=True)
+
+
+def merge_saved(cfg: ml_collections.ConfigDict, path: str) -> ml_collections.ConfigDict:
+    """Overlay a ``save_config`` JSON onto ``cfg`` in place. Tuple-typed
+    fields are re-coerced from JSON lists; keys the current code no longer
+    knows are ignored (forward compatibility with old run dirs)."""
+    import json
+
+    with open(path) as f:
+        saved = json.load(f)
+
+    def _merge(node, d):
+        for k, v in d.items():
+            if k not in node:
+                continue
+            cur = node[k]
+            if isinstance(cur, ml_collections.ConfigDict) and isinstance(v, dict):
+                _merge(cur, v)
+            elif isinstance(cur, tuple):
+                node[k] = tuple(
+                    tuple(x) if isinstance(x, list) else x for x in v
+                )
+            else:
+                node[k] = v
+
+    _merge(cfg, saved)
+    return cfg
+
+
 def display(cfg: ml_collections.ConfigDict) -> str:
     """Reference's ``Config.display()`` equivalent — a readable dump."""
     lines = ["Configuration:"]

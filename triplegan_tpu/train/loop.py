@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 from triplegan_tpu.ckpt import CheckpointManager
-from triplegan_tpu.configs.base import display, make_networks
+from triplegan_tpu.configs.base import display, make_networks, save_config
 from triplegan_tpu.data.datasets import SemiSupervisedData, load_dataset, synthetic_dataset
 from triplegan_tpu.data.pipeline import BatchSampler, device_prefetch, upload_device_data
 from triplegan_tpu.data.zca import ZCAStats, fit_zca
@@ -74,6 +74,9 @@ def train(
         jax.config.update("jax_default_prng_impl", cfg.prng_impl)
     workdir = os.path.join(cfg.workdir, cfg.name)
     os.makedirs(workdir, exist_ok=True)
+    # Persist the resolved config so eval/sample/inception rebuild the exact
+    # checkpoint template without the user repeating --set overrides.
+    save_config(cfg, os.path.join(workdir, "config.json"))
     logger = MetricsLogger(workdir)
     if verbose:
         print(display(cfg))
