@@ -113,6 +113,50 @@ def test_cli_eval_restores_without_repeating_overrides(tmp_path, capsys):
         jax.config.update("jax_default_prng_impl", "threefry2x32")
 
 
+def test_cli_resume_without_repeating_overrides(tmp_path, capsys):
+    """Resuming with a bare `train --config X --workdir W` must reconstruct
+    the original run's --set overrides from config.json (and must NOT
+    clobber config.json before the restore succeeds)."""
+    import jax
+    import json
+
+    wd = str(tmp_path / "runs")
+    try:
+        main([
+            "train", "--config", "mnist100", "--workdir", wd, *TINY,
+            "--set", "prng_impl=rbg",
+        ])
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+        capsys.readouterr()
+        main(["train", "--config", "mnist100", "--workdir", wd,
+              "--max-steps", "2"])
+        out = capsys.readouterr().out
+        assert "resumed from step 2" in out
+        with open(os.path.join(wd, "mnist100", "config.json")) as f:
+            assert json.load(f)["prng_impl"] == "rbg"
+    finally:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+
+def test_cli_eval_honors_name_override(tmp_path, capsys):
+    """A run trained under --set name=... must merge ITS config.json (the
+    run-dir lookup happens after overrides are applied)."""
+    import jax
+
+    wd = str(tmp_path / "runs")
+    try:
+        main([
+            "train", "--config", "mnist100", "--workdir", wd, *TINY,
+            "--set", "name=exp2", "--set", "prng_impl=rbg",
+        ])
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+        main(["eval", "--config", "mnist100", "--workdir", wd,
+              "--set", "name=exp2"])
+        assert "test error:" in capsys.readouterr().out
+    finally:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+
 def test_cli_eval_without_checkpoint_exits(tmp_path):
     with pytest.raises(SystemExit, match="no checkpoint"):
         main(["eval", "--config", "mnist100", "--workdir", str(tmp_path), *TINY])

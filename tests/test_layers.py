@@ -152,3 +152,33 @@ def test_label_concat_spatial():
     assert out.shape == (2, 4, 4, 13)
     assert float(out[0, 2, 2, 3 + 1]) == 1.0
     assert float(out[1, 0, 0, 3 + 3]) == 1.0
+
+
+def test_max_pool_maskbwd_matches_select_and_scatter():
+    """The mask-based custom-VJP maxpool backward must equal JAX's
+    select_and_scatter gradient on tie-free input (f32 random: ties are
+    measure-zero), including SAME padding on odd dims, and must preserve
+    total gradient mass when ties exist."""
+    for shape in [(2, 8, 8, 3), (2, 7, 7, 3)]:
+        x = jax.random.normal(jax.random.PRNGKey(0), shape)
+        g = jax.random.normal(jax.random.PRNGKey(1), L.max_pool(x).shape)
+
+        def loss_ref(x):
+            return jnp.sum(L._reduce_window_max(x, 2, 2) * g)
+
+        def loss_mask(x):
+            return jnp.sum(L._max_pool_maskbwd(x, 2) * g)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_mask)(x)),
+            np.asarray(jax.grad(loss_ref)(x)),
+            atol=1e-6,
+        )
+
+    # ties: all-equal input → each window's cotangent split evenly, total
+    # gradient mass preserved exactly
+    x = jnp.ones((1, 4, 4, 1))
+    g = jnp.arange(4, dtype=jnp.float32).reshape(1, 2, 2, 1) + 1.0
+    gx = jax.grad(lambda x: jnp.sum(L._max_pool_maskbwd(x, 2) * g))(x)
+    assert abs(float(jnp.sum(gx)) - float(jnp.sum(g))) < 1e-6
+    np.testing.assert_allclose(np.asarray(gx[0, :2, :2, 0]), 0.25, atol=1e-6)

@@ -40,38 +40,33 @@ def _apply_overrides(cfg, overrides):
     return cfg
 
 
-def _load_cfg(args, from_workdir: bool = False):
-    """Resolve the effective config. With ``from_workdir`` (eval/sample/
-    inception), the ``config.json`` the train driver persisted in the run
-    directory is merged first, so the checkpoint's template (prng impl,
-    network widths, dtype, …) is rebuilt exactly without the user repeating
-    every ``--set``; explicit CLI paths and ``--set`` still win."""
-    from triplegan_tpu.configs import get_config
-    from triplegan_tpu.configs.base import merge_saved
-
-    cfg = get_config(args.config)
-    if from_workdir:
-        wd = getattr(args, "workdir", None) or cfg.workdir
-        saved = os.path.join(wd, cfg.name, "config.json")
-        if os.path.exists(saved):
-            merge_saved(cfg, saved)
+def _resolve_paths(cfg, args):
     if getattr(args, "workdir", None):
         cfg.workdir = args.workdir
     if getattr(args, "data_dir", None):
         cfg.data_dir = args.data_dir
-    return _apply_overrides(cfg, getattr(args, "set", None))
-
-
-def _apply_runtime(cfg):
-    """Apply config fields that must be set before any state/key is built
-    (mirrors the train driver, train/loop.py): a checkpoint written under
-    ``prng_impl="rbg"`` stores a (4,)-word key and is unrestorable into a
-    threefry (2,)-word template."""
-    import jax
-
-    if cfg.get("prng_impl", "threefry") != "threefry":
-        jax.config.update("jax_default_prng_impl", cfg.prng_impl)
     return cfg
+
+
+def _load_cfg(args):
+    """Resolve the effective config for this run directory. The
+    ``config.json`` the train driver persisted there (if any) is merged
+    first — excluding execution-environment keys — so the checkpoint's
+    template (prng impl, network widths, dtype, …) is rebuilt exactly
+    without the user repeating every ``--set``; explicit CLI paths and
+    ``--set`` always win. The run dir is located with overrides already
+    applied, so ``--set name=...`` / ``--set workdir=...`` runs merge
+    their own saved config, not the base config's."""
+    from triplegan_tpu.configs import get_config
+    from triplegan_tpu.configs.base import merge_saved
+
+    overrides = getattr(args, "set", None)
+    probe = _apply_overrides(_resolve_paths(get_config(args.config), args), overrides)
+    cfg = get_config(args.config)
+    saved = os.path.join(probe.workdir, probe.name, "config.json")
+    if os.path.exists(saved):
+        merge_saved(cfg, saved)
+    return _apply_overrides(_resolve_paths(cfg, args), overrides)
 
 
 def cmd_train(args):
@@ -86,7 +81,7 @@ def cmd_eval(args):
     import numpy as np
 
     from triplegan_tpu.ckpt import CheckpointManager
-    from triplegan_tpu.configs.base import make_networks
+    from triplegan_tpu.configs.base import apply_runtime, make_networks
     from triplegan_tpu.data.pipeline import BatchSampler
     from triplegan_tpu.eval.metrics import evaluate_error
     from triplegan_tpu.parallel import mesh as pmesh
@@ -95,7 +90,7 @@ def cmd_eval(args):
     from triplegan_tpu.train.state import create_state
     from triplegan_tpu.train.step import make_eval_step
 
-    cfg = _apply_runtime(_load_cfg(args, from_workdir=True))
+    cfg = apply_runtime(_load_cfg(args))
     workdir = os.path.join(cfg.workdir, cfg.name)
     data = _resolve_data(cfg)
     zca = _resolve_zca(cfg, data, workdir)
@@ -132,7 +127,7 @@ def cmd_eval(args):
 
 def cmd_sample(args):
     from triplegan_tpu.ckpt import CheckpointManager
-    from triplegan_tpu.configs.base import make_networks
+    from triplegan_tpu.configs.base import apply_runtime, make_networks
     from triplegan_tpu.eval.sample import (
         class_grid_inputs,
         make_sample_fn,
@@ -142,7 +137,7 @@ def cmd_sample(args):
     from triplegan_tpu.train.schedule import make_optimizers
     from triplegan_tpu.train.state import create_state
 
-    cfg = _apply_runtime(_load_cfg(args, from_workdir=True))
+    cfg = apply_runtime(_load_cfg(args))
     workdir = os.path.join(cfg.workdir, cfg.name)
     nets = make_networks(cfg)
     state = create_state(cfg, nets, make_optimizers(cfg, 1))
@@ -168,13 +163,13 @@ def cmd_inception(args):
     import jax.numpy as jnp
 
     from triplegan_tpu.ckpt import CheckpointManager
-    from triplegan_tpu.configs.base import make_networks
+    from triplegan_tpu.configs.base import apply_runtime, make_networks
     from triplegan_tpu.data.zca import ZCAStats, apply_zca
     from triplegan_tpu.eval.inception import inception_score, load_scorer
     from triplegan_tpu.train.schedule import make_optimizers
     from triplegan_tpu.train.state import create_state
 
-    cfg = _apply_runtime(_load_cfg(args, from_workdir=True))
+    cfg = apply_runtime(_load_cfg(args))
     workdir = os.path.join(cfg.workdir, cfg.name)
     nets = make_networks(cfg)
     gen, _, clf = nets

@@ -137,30 +137,62 @@ def save_config(cfg: ml_collections.ConfigDict, path: str) -> None:
         json.dump(cfg.to_dict(), f, indent=2, default=list, sort_keys=True)
 
 
+# Execution-environment fields: where the run lives and how this host
+# executes it — NOT part of the model/data semantics a checkpoint encodes.
+# Excluded from merge_saved so a run dir trained with e.g. mesh_shape=(8,)
+# or use_pallas=True stays evaluable on different hardware, and paths always
+# come from the current invocation.
+EXEC_KEYS = frozenset({
+    "workdir", "data_dir", "mesh_shape", "use_pallas", "scan_steps",
+    "data_on_device", "log_every", "eval_every_epochs", "ckpt_every_epochs",
+    "ckpt_keep",
+})
+
+
 def merge_saved(cfg: ml_collections.ConfigDict, path: str) -> ml_collections.ConfigDict:
-    """Overlay a ``save_config`` JSON onto ``cfg`` in place. Tuple-typed
-    fields are re-coerced from JSON lists; keys the current code no longer
-    knows are ignored (forward compatibility with old run dirs)."""
+    """Overlay a ``save_config`` JSON onto ``cfg`` in place, skipping
+    execution-environment keys (``EXEC_KEYS``). Tuple-typed fields are
+    re-coerced from JSON lists; keys the current code no longer knows, and
+    saved values whose type no longer fits the current field, are skipped
+    (forward compatibility with old run dirs)."""
     import json
 
     with open(path) as f:
         saved = json.load(f)
 
-    def _merge(node, d):
+    def _merge(node, d, top):
         for k, v in d.items():
-            if k not in node:
+            if k not in node or (top and k in EXEC_KEYS):
                 continue
             cur = node[k]
-            if isinstance(cur, ml_collections.ConfigDict) and isinstance(v, dict):
-                _merge(cur, v)
-            elif isinstance(cur, tuple):
-                node[k] = tuple(
-                    tuple(x) if isinstance(x, list) else x for x in v
-                )
-            else:
-                node[k] = v
+            try:
+                if isinstance(cur, ml_collections.ConfigDict) and isinstance(v, dict):
+                    _merge(cur, v, False)
+                elif isinstance(cur, tuple):
+                    node[k] = tuple(
+                        tuple(x) if isinstance(x, list) else x for x in v
+                    )
+                else:
+                    node[k] = v
+            except (TypeError, ValueError):
+                continue  # type drift across versions: keep the current default
 
-    _merge(cfg, saved)
+    _merge(cfg, saved, True)
+    return cfg
+
+
+def apply_runtime(cfg: ml_collections.ConfigDict) -> ml_collections.ConfigDict:
+    """Apply config fields that must be set before any key/state is built.
+    A checkpoint written under ``prng_impl="rbg"`` stores a (4,)-word key
+    and cannot restore into a threefry (2,)-word template, so the impl must
+    be in force before ``create_state`` — and set unconditionally, so one
+    in-process invocation can't leak its impl into the next."""
+    import jax
+
+    impl = cfg.get("prng_impl", "threefry")
+    jax.config.update(
+        "jax_default_prng_impl", {"threefry": "threefry2x32"}.get(impl, impl)
+    )
     return cfg
 
 

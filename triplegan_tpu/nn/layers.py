@@ -25,6 +25,7 @@ Numerical conventions match the TF-1.x reference semantics:
 
 from __future__ import annotations
 
+import functools as _functools
 import math
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -506,6 +507,51 @@ def deconv2d_wn_act_apply(
 _MAXPOOL_IMPL = _os.environ.get("TRIPLEGAN_MAXPOOL", "window")
 
 
+def _reduce_window_max(x: jax.Array, window: int, stride: int) -> jax.Array:
+    return lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        "SAME",
+    )
+
+
+def _pool_repeat(a: jax.Array, window: int, h: int, w: int) -> jax.Array:
+    """Broadcast a pooled map back to input positions (stride == window:
+    each input position belongs to exactly one window, SAME padding)."""
+    a = jnp.repeat(a, window, axis=1)[:, :h]
+    return jnp.repeat(a, window, axis=2)[:, :, :w]
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _max_pool_maskbwd(x: jax.Array, window: int) -> jax.Array:
+    return _reduce_window_max(x, window, window)
+
+
+def _mp_fwd(x, window):
+    y = _reduce_window_max(x, window, window)
+    return y, (x, y)
+
+
+def _mp_bwd(window, res, g):
+    x, y = res
+    _, h, w, _ = x.shape
+    mask = (x == _pool_repeat(y, window, h, w)).astype(g.dtype)
+    # Split the window's gradient evenly across ties (select_and_scatter
+    # sends it all to one element; ties are rare in f32, real in bf16 —
+    # even-split keeps the total gradient mass identical either way).
+    cnt = lax.reduce_window(
+        mask, jnp.zeros((), g.dtype), lax.add,
+        (1, window, window, 1), (1, window, window, 1), "SAME",
+    )
+    return (mask * _pool_repeat(g / cnt, window, h, w),)
+
+
+_max_pool_maskbwd.defvjp(_mp_fwd, _mp_bwd)
+
+
 def max_pool(x: jax.Array, window: int = 2, stride: int = 2) -> jax.Array:
     n, h, w, c = x.shape
     if (
@@ -520,14 +566,16 @@ def max_pool(x: jax.Array, window: int = 2, stride: int = 2) -> jax.Array:
         # reshape form lowers to plain fusions on both passes).
         y = x.reshape(n, h // window, window, w // window, window, c)
         return y.max(axis=(2, 4))
-    return lax.reduce_window(
-        x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
-        lax.max,
-        (1, window, window, 1),
-        (1, stride, stride, 1),
-        "SAME",
-    )
+    if (
+        _MAXPOOL_IMPL == "maskbwd"
+        and window == stride
+        and jnp.issubdtype(x.dtype, jnp.floating)
+    ):
+        # reduce_window forward (fusion-friendly layout, same as default)
+        # with a mask-based custom VJP: the backward becomes elementwise
+        # compare/multiply fusions instead of TPU's slow select_and_scatter.
+        return _max_pool_maskbwd(x, window)
+    return _reduce_window_max(x, window, stride)
 
 
 def global_avg_pool(x: jax.Array) -> jax.Array:

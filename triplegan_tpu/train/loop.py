@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 from triplegan_tpu.ckpt import CheckpointManager
-from triplegan_tpu.configs.base import display, make_networks, save_config
+from triplegan_tpu.configs.base import apply_runtime, display, make_networks, save_config
 from triplegan_tpu.data.datasets import SemiSupervisedData, load_dataset, synthetic_dataset
 from triplegan_tpu.data.pipeline import BatchSampler, device_prefetch, upload_device_data
 from triplegan_tpu.data.zca import ZCAStats, fit_zca
@@ -70,13 +70,9 @@ def train(
 ):
     """Full training run; returns a summary dict. ``max_steps`` caps total
     steps for smoke tests without changing schedule constants."""
-    if cfg.get("prng_impl", "threefry") != "threefry":
-        jax.config.update("jax_default_prng_impl", cfg.prng_impl)
+    apply_runtime(cfg)
     workdir = os.path.join(cfg.workdir, cfg.name)
     os.makedirs(workdir, exist_ok=True)
-    # Persist the resolved config so eval/sample/inception rebuild the exact
-    # checkpoint template without the user repeating --set overrides.
-    save_config(cfg, os.path.join(workdir, "config.json"))
     logger = MetricsLogger(workdir)
     if verbose:
         print(display(cfg))
@@ -160,6 +156,12 @@ def train(
         state = _apply_ddinit(cfg, nets, state, data, zca)
         if verbose:
             print("applied data-dependent weight-norm init")
+    # Persist the resolved config so eval/sample/inception (and resumes)
+    # rebuild the exact checkpoint template without the user repeating --set
+    # overrides. Written only after a successful restore decision: a resume
+    # attempt with a mismatched config dies above instead of first clobbering
+    # the good record the original run wrote.
+    save_config(cfg, os.path.join(workdir, "config.json"))
 
     # Fold the resume step into the sampler seed so a resumed run draws a
     # fresh continuation of the data stream instead of replaying the early
