@@ -76,3 +76,30 @@ def test_restore_none_when_empty(tmp_path):
     mngr = CheckpointManager(str(tmp_path / "empty"))
     assert mngr.restore(create_state(cfg, nets, opts)) is None
     mngr.close()
+
+
+def test_torn_tmp_checkpoint_cleaned_and_ignored(tmp_path):
+    """A SIGKILL mid-save leaves <step>.orbax-checkpoint-tmp debris (observed
+    in the on-chip kill-resume rehearsal, DESIGN.md). A fresh manager must
+    ignore it for restore AND purge it from disk."""
+    import os
+
+    cfg = tiny_config()
+    nets = make_networks(cfg)
+    opts = make_optimizers(cfg, 16)
+    d = tmp_path / "ckpt"
+    mngr = CheckpointManager(str(d))
+    state = create_state(cfg, nets, opts)
+    mngr.save(2, state)
+    mngr.close()
+
+    torn = d / "3.orbax-checkpoint-tmp"
+    torn.mkdir()
+    (torn / "partial.bin").write_bytes(b"\x00" * 8)
+
+    mngr2 = CheckpointManager(str(d))
+    assert mngr2.latest_step() == 2
+    restored = mngr2.restore(create_state(cfg, nets, opts))
+    assert int(restored.step) == int(state.step)
+    assert not torn.exists(), "torn tmp dir should be purged on open"
+    mngr2.close()

@@ -25,6 +25,11 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep,
                 enable_async_checkpointing=True,
+                # A SIGKILL mid-save leaves a torn *.orbax-checkpoint-tmp dir;
+                # purge such debris on open so crashed runs don't accumulate
+                # garbage (restore already ignores them — verified by the
+                # kill-resume rehearsal, DESIGN.md).
+                cleanup_tmp_directories=True,
             ),
         )
 
