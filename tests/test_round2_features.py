@@ -351,3 +351,66 @@ def test_cli_inception_scorer_path(tmp_path):
             "--scorer-path", str(spath),
         ]
     )
+
+
+def test_rescale_flag_wired_and_guarded():
+    """cfg.rescale=False feeds raw [0,255] pixels (review: the knob was
+    previously dead); combined with ZCA it must refuse loudly, since ZCA
+    stats are fit in [-1,1] space."""
+    from triplegan_tpu.data.ondevice import standard_pipeline
+
+    x = (np.arange(2 * 4 * 4 * 3) % 256).astype(np.uint8).reshape(2, 4, 4, 3)
+    raw = standard_pipeline(None, jnp.asarray(x), train=False, do_rescale=False)
+    np.testing.assert_allclose(np.asarray(raw), x.astype(np.float32))
+    scaled = standard_pipeline(None, jnp.asarray(x), train=False)
+    assert float(jnp.max(scaled)) <= 1.0 and float(jnp.min(scaled)) >= -1.0
+
+    with pytest.raises(ValueError, match="rescale=False is incompatible"):
+        standard_pipeline(
+            None,
+            jnp.asarray(x),
+            train=False,
+            do_rescale=False,
+            zca_mean=jnp.zeros((48,)),
+            zca_whiten=jnp.eye(48),
+        )
+
+
+def test_resolve_zca_prefers_prepared_stats(tmp_path):
+    """_resolve_zca must load the stats `prepare` saved into the data dir
+    instead of refitting (review: the prepare artifact was dead), and cache
+    them into the run dir."""
+    from triplegan_tpu.data.zca import ZCAStats
+    from triplegan_tpu.train.loop import _resolve_zca
+
+    cfg = tiny_config()
+    cfg.zca = True
+    cfg.dataset = "cifar10"
+    cfg.data_dir = str(tmp_path / "data")
+    d = cfg.image_size * cfg.image_size * cfg.channels
+    marked = ZCAStats(
+        mean=np.full((d,), 0.123, np.float32), whiten=np.eye(d, dtype=np.float32)
+    )
+    os.makedirs(os.path.join(cfg.data_dir, "cifar10"))
+    marked.save(os.path.join(cfg.data_dir, "cifar10", "zca_stats.npz"))
+
+    workdir = str(tmp_path / "run")
+    stats = _resolve_zca(cfg, tiny_data(cfg), workdir)
+    np.testing.assert_allclose(stats.mean, marked.mean)  # loaded, not refit
+    assert os.path.exists(os.path.join(workdir, "zca_stats.npz"))
+
+
+def test_train_loop_cadence_zero_disables(tmp_path):
+    """eval_every_epochs=0 / ckpt_every_epochs=0 must disable the periodic
+    work, not ZeroDivisionError at the first epoch boundary (review)."""
+    from triplegan_tpu.train.loop import train
+
+    cfg = tiny_config()
+    cfg.workdir = str(tmp_path)
+    cfg.steps_per_epoch = 2
+    cfg.epochs = 2
+    cfg.eval_every_epochs = 0
+    cfg.ckpt_every_epochs = 0
+    result = train(cfg, data=tiny_data(cfg), verbose=False)
+    assert result["steps"] == 4
+    assert 0.0 <= result["test_error"] <= 1.0  # final eval still runs

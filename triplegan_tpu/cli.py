@@ -190,7 +190,21 @@ def cmd_inception(args):
         x, _ = gen.apply(state.params["gen"], state.bn["gen"], z, y, train=False)
         return x
 
-    images = generate(restored, z, y)
+    # Generate in fixed-size chunks (one compile, bounded activations): 5000
+    # STL-10-sized samples in one forward would peak >10 GB of deconv
+    # activations; scoring below is chunked for the same reason.
+    import numpy as np
+
+    chunk = min(n, max(int(cfg.batch_size), 1))
+    pieces = []
+    for i in range(0, n, chunk):
+        zi = z[i : i + chunk]
+        pad = chunk - zi.shape[0]
+        if pad:  # keep the final piece the same compiled shape
+            zi = jnp.pad(z[i:], ((0, pad), (0, 0)))
+        out = np.asarray(generate(restored, zi, jnp.pad(y[i : i + chunk], (0, pad))))
+        pieces.append(out[: chunk - pad] if pad else out)
+    images = np.concatenate(pieces, axis=0)
 
     if args.scorer_path:
         score_logits = load_scorer(args.scorer_path)

@@ -71,6 +71,7 @@ def standard_pipeline(
     train: bool = True,
     dtype=jnp.float32,
     zca_first: bool = True,
+    do_rescale: bool = True,
 ) -> jax.Array:
     """rescale → normalize/augment in the configured order.
 
@@ -78,9 +79,18 @@ def standard_pipeline(
     (SURVEY.md §2.1 #3: parse → normalize (ZCA) → augment), i.e. the random
     translate/flip act on *whitened* images; ``zca_first=False`` augments in
     raw pixel space first (``cfg.aug_order="augment_first"``).
+
+    ``do_rescale=False`` (``cfg.rescale=False``) feeds raw [0, 255] pixel
+    values; incompatible with ZCA, whose statistics are fit in [-1, 1] space
+    (``fit_zca``).
     """
-    x = rescale(x_uint8, dtype)
     has_zca = zca_mean is not None and zca_whiten is not None
+    if not do_rescale and has_zca:
+        raise ValueError(
+            "rescale=False is incompatible with zca=True: ZCA statistics are "
+            "fit in [-1, 1] space (data/zca.py fit_zca)"
+        )
+    x = rescale(x_uint8, dtype) if do_rescale else x_uint8.astype(dtype)
     if has_zca and zca_first:
         x = apply_zca(x, zca_mean, zca_whiten)
     if train and key is not None:

@@ -270,8 +270,18 @@ def deconv2d_apply(
         w = _wn_kernel(p["v"], p["g"], (0, 1, 2))
     else:
         w = p["w"]
+    y = _deconv_raw(x, w, stride)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+def _deconv_raw(x: jax.Array, w: jax.Array, stride: int) -> jax.Array:
+    """The deconv lowering behind TRIPLEGAN_DECONV — shared by every deconv
+    path (incl. the Pallas-epilogue variant) so A/B measurements apply
+    uniformly; subpixel default measured +7% step throughput (DESIGN.md)."""
     if _DECONV_IMPL == "transpose":
-        y = lax.conv_transpose(
+        return lax.conv_transpose(
             x,
             w.astype(x.dtype),
             strides=(stride, stride),
@@ -279,11 +289,7 @@ def deconv2d_apply(
             dimension_numbers=_CONV_DIMS,
             transpose_kernel=False,
         )
-    else:
-        y = _deconv2d_subpixel(x, w.astype(x.dtype), stride)
-    if "b" in p:
-        y = y + p["b"].astype(y.dtype)
-    return y.astype(x.dtype)
+    return _deconv2d_subpixel(x, w.astype(x.dtype), stride)
 
 
 # ---------------------------------------------------------------------------
@@ -490,14 +496,7 @@ def deconv2d_wn_act_apply(
     norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1, 2)) + 1e-12)
     k = (g / norm).astype(x.dtype)
     b = p.get("b", jnp.zeros_like(g)).astype(x.dtype)
-    y = lax.conv_transpose(
-        x,
-        v.astype(x.dtype),
-        strides=(stride, stride),
-        padding="SAME",
-        dimension_numbers=_CONV_DIMS,
-        transpose_kernel=False,
-    ).astype(x.dtype)
+    y = _deconv_raw(x, v, stride).astype(x.dtype)
     return _scale_bias_act(y, k, b, act, slope, True)
 
 

@@ -51,12 +51,24 @@ def _resolve_data(cfg) -> SemiSupervisedData:
 
 
 def _resolve_zca(cfg, data: SemiSupervisedData, workdir: str) -> Optional[ZCAStats]:
+    """Run-dir cache → stats fitted at ``prepare`` time → fresh fit.
+
+    ``prepare`` saves ``{data_dir}/{dataset}/zca_stats.npz`` alongside the
+    shards (SURVEY.md §3.1: the reference fits ZCA once at prep time and
+    reuses it); loading it saves a 50k×3072 covariance + 3072² float64
+    eigendecomposition of startup per new run dir. The chosen stats are
+    cached into the run dir either way so eval/sample see exactly the
+    train-time whitening even if the data dir moves."""
     if not cfg.zca:
         return None
     cache = os.path.join(workdir, "zca_stats.npz")
     if os.path.exists(cache):
         return ZCAStats.load(cache)
-    stats = fit_zca(data.x_unlabel)
+    prepared = os.path.join(cfg.data_dir, cfg.dataset, "zca_stats.npz")
+    if cfg.dataset != "synthetic" and os.path.exists(prepared):
+        stats = ZCAStats.load(prepared)
+    else:
+        stats = fit_zca(data.x_unlabel)
     os.makedirs(workdir, exist_ok=True)
     stats.save(cache)
     return stats
@@ -211,7 +223,8 @@ def train(
 
         epoch_done = (it // steps_per_epoch) > (prev // steps_per_epoch)
         epoch = it // steps_per_epoch
-        if epoch_done and epoch % cfg.eval_every_epochs == 0:
+        # cadence 0 = disabled (final eval/ckpt after the loop still run)
+        if epoch_done and cfg.eval_every_epochs and epoch % cfg.eval_every_epochs == 0:
             test_error = evaluate_error(eval_step, state, _test_stream(sampler, sharding))
             logger.scalars(it, {"test_error": test_error})
             if verbose:
@@ -220,7 +233,7 @@ def train(
             grid = to_uint8_grid(sample_fn(state, z, labels), cfg.num_classes, 10)
             logger.image(it, "samples", grid)
             save_png(grid, os.path.join(workdir, f"samples_{it:08d}.png"))
-        if epoch_done and epoch % cfg.ckpt_every_epochs == 0:
+        if epoch_done and cfg.ckpt_every_epochs and epoch % cfg.ckpt_every_epochs == 0:
             ckpt.save(it, state)
 
     if test_error is None:
@@ -253,6 +266,7 @@ def _apply_ddinit(cfg, nets, state, data: SemiSupervisedData, zca):
         zca_mean=jnp.asarray(zca.mean) if zca else None,
         zca_whiten=jnp.asarray(zca.whiten) if zca else None,
         train=False,
+        do_rescale=bool(cfg.get("rescale", True)),
     )
     rng = jax.random.PRNGKey(cfg.seed + 1)
     kz, ky, kyd = jax.random.split(rng, 3)

@@ -91,6 +91,7 @@ def make_train_step(
             train=True,
             dtype=cdt,
             zca_first=cfg.get("aug_order", "zca_first") == "zca_first",
+            do_rescale=bool(cfg.get("rescale", True)),
         )
 
     def whiten_gen(x_raw):
@@ -407,6 +408,7 @@ def make_eval_step(cfg, nets, zca_stats=None, axis_name: Optional[str] = None):
             zca_whiten=zca_whiten,
             train=False,
             dtype=cdt,
+            do_rescale=bool(cfg.get("rescale", True)),
         )
         logits, _ = clf.apply(state.params["clf"], state.bn["clf"], x, train=False)
         pred = jnp.argmax(logits, axis=-1)
