@@ -414,3 +414,24 @@ def test_train_loop_cadence_zero_disables(tmp_path):
     result = train(cfg, data=tiny_data(cfg), verbose=False)
     assert result["steps"] == 4
     assert 0.0 <= result["test_error"] <= 1.0  # final eval still runs
+
+
+def test_train_profile_dir_writes_trace(tmp_path):
+    """cfg.profile_dir captures a jax.profiler trace of the hot loop
+    (the reference's nvprof/TF-timeline equivalent, SURVEY §5) — previously
+    only bench.py could trace; MIGRATION.md promises it for train runs."""
+    from triplegan_tpu.train.loop import train
+
+    cfg = tiny_config()
+    cfg.workdir = str(tmp_path / "run")
+    cfg.steps_per_epoch = 4
+    cfg.epochs = 2
+    cfg.profile_dir = str(tmp_path / "trace")
+    cfg.profile_steps = 2
+    train(cfg, data=tiny_data(cfg), verbose=False)
+    assert os.path.isdir(cfg.profile_dir)
+    found = [
+        f for _, _, files in os.walk(cfg.profile_dir) for f in files
+        if f.endswith((".pb", ".json.gz", ".trace.json.gz", ".xplane.pb"))
+    ]
+    assert found, "no trace artifacts written"

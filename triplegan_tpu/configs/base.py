@@ -116,9 +116,16 @@ def base_config() -> ml_collections.ConfigDict:
                                               # data_on_device; log/eval
                                               # cadence rounds to the chunk)
     cfg.log_every = 100
-    cfg.eval_every_epochs = 1
-    cfg.ckpt_every_epochs = 10
+    cfg.eval_every_epochs = 1                 # 0 disables periodic eval
+    cfg.ckpt_every_epochs = 10                # 0 disables periodic ckpts
     cfg.ckpt_keep = 3
+    cfg.profile_dir = ""                      # non-empty: capture a jax.profiler
+                                              # trace of `profile_steps` hot-loop
+                                              # steps (after a short warmup) to
+                                              # this dir; view with TensorBoard's
+                                              # profile plugin (reference's
+                                              # nvprof/timeline equivalent)
+    cfg.profile_steps = 10
 
     return cfg
 
@@ -145,7 +152,7 @@ def save_config(cfg: ml_collections.ConfigDict, path: str) -> None:
 EXEC_KEYS = frozenset({
     "workdir", "data_dir", "mesh_shape", "use_pallas", "scan_steps",
     "data_on_device", "log_every", "eval_every_epochs", "ckpt_every_epochs",
-    "ckpt_keep",
+    "ckpt_keep", "profile_dir", "profile_steps",
 })
 
 

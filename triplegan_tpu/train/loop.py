@@ -193,10 +193,22 @@ def train(
     end_step = total_steps if max_steps is None else min(total_steps, start_step + max_steps)
     last_metrics = {}
     test_error = None
+    # Optional hot-loop trace (reference's nvprof/TF-timeline equivalent,
+    # SURVEY §5): bracket `profile_steps` steps after a short warmup that
+    # excludes compilation, fencing on the step outputs at both edges so the
+    # trace covers whole dispatches.
+    profile_dir = str(cfg.get("profile_dir", "") or "")
+    profile_on = False
+    profile_start = start_step + 2 * max(chunk, 1)
+    profile_stop = profile_start + max(int(cfg.get("profile_steps", 10)), chunk)
     t_log = time.perf_counter()
     steps_since_log = 0
     it = start_step
     while it < end_step:
+        if profile_dir and not profile_on and it >= profile_start:
+            jax.block_until_ready(state)
+            jax.profiler.start_trace(profile_dir)
+            profile_on = True
         if scan_step is not None and it + chunk <= end_step:
             state, metrics = scan_step(state, device_data)
             taken = chunk
@@ -208,6 +220,13 @@ def train(
             taken = 1
         prev, it = it, it + taken
         steps_since_log += taken
+        if profile_on and it >= profile_stop:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            profile_on = False
+            profile_dir = ""
+            if verbose:
+                print(f"wrote profile trace to {cfg.profile_dir}")
 
         if (it // cfg.log_every) > (prev // cfg.log_every) or it == end_step:
             metrics = jax.device_get(metrics)
@@ -236,6 +255,9 @@ def train(
         if epoch_done and cfg.ckpt_every_epochs and epoch % cfg.ckpt_every_epochs == 0:
             ckpt.save(it, state)
 
+    if profile_on:  # run ended inside the profiled window
+        jax.block_until_ready(state)
+        jax.profiler.stop_trace()
     if test_error is None:
         test_error = evaluate_error(eval_step, state, _test_stream(sampler, sharding))
     ckpt.save(int(state.step), state)
