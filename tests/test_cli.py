@@ -195,3 +195,14 @@ def test_cli_prepare_and_train_roundtrip(tmp_path):
         "--set", "steps_per_epoch=2", "--set", "epochs=1", "--set", "log_every=1",
     ])
     assert os.path.isdir(os.path.join(wd, "mnist100", "ckpt"))
+
+
+def test_cli_eval_specific_step(trained_workdir, capsys):
+    """--step restores a named checkpoint (the reference's
+    Saver.restore(<specific ckpt>)); a bogus step exits with the latest."""
+    main(["eval", "--config", "mnist100", "--workdir", trained_workdir,
+          "--step", "2", *TINY])
+    assert "test error:" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="no checkpoint for step 99"):
+        main(["eval", "--config", "mnist100", "--workdir", trained_workdir,
+              "--step", "99", *TINY])

@@ -38,10 +38,18 @@ class CheckpointManager:
 
     def restore(self, state_template, step: Optional[int] = None):
         """Restore into the structure of ``state_template`` (a concrete state
-        built the same way as at first init). Returns None if no checkpoint."""
+        built the same way as at first init). Returns None if no checkpoint;
+        raises FileNotFoundError for an explicit ``step`` that doesn't exist
+        (orbax 0.11 would otherwise fail default-item detection on the
+        missing directory and raise a misleading ValueError)."""
         target = step if step is not None else self._mngr.latest_step()
         if target is None:
             return None
+        if step is not None and target not in self._mngr.all_steps():
+            raise FileNotFoundError(
+                f"no checkpoint for step {step} (available: "
+                f"{sorted(self._mngr.all_steps())})"
+            )
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
         return self._mngr.restore(target, args=ocp.args.StandardRestore(abstract))
 

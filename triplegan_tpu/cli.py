@@ -76,6 +76,24 @@ def cmd_train(args):
     print(f"done: step={result['steps']} test_error={100 * result['test_error']:.2f}%")
 
 
+def _restore_at(ckpt, state, args, workdir):
+    """Restore the latest checkpoint, or the one named by ``--step``
+    (the reference's ``Saver.restore(<specific ckpt>)``)."""
+    step = getattr(args, "step", None)
+    if step is not None and ckpt.latest_step() is None:
+        sys.exit(f"no checkpoint under {workdir}/ckpt")
+    try:
+        restored = ckpt.restore(state, step=step)
+    except FileNotFoundError:
+        sys.exit(
+            f"no checkpoint for step {step} under {workdir}/ckpt "
+            f"(latest: {ckpt.latest_step()})"
+        )
+    if restored is None:
+        sys.exit(f"no checkpoint under {workdir}/ckpt")
+    return restored
+
+
 def cmd_eval(args):
     import jax
     import numpy as np
@@ -97,9 +115,7 @@ def cmd_eval(args):
     nets = make_networks(cfg)
     state = create_state(cfg, nets, make_optimizers(cfg, 1))
     ckpt = CheckpointManager(os.path.join(workdir, "ckpt"))
-    restored = ckpt.restore(state)
-    if restored is None:
-        sys.exit(f"no checkpoint under {workdir}/ckpt")
+    restored = _restore_at(ckpt, state, args, workdir)
     # Honor cfg.mesh_shape like the train loop (make_mesh raises rather than
     # silently under-building on insufficient devices).
     n_dev = int(np.prod(cfg.mesh_shape))
@@ -142,9 +158,7 @@ def cmd_sample(args):
     nets = make_networks(cfg)
     state = create_state(cfg, nets, make_optimizers(cfg, 1))
     ckpt = CheckpointManager(os.path.join(workdir, "ckpt"))
-    restored = ckpt.restore(state)
-    if restored is None:
-        sys.exit(f"no checkpoint under {workdir}/ckpt")
+    restored = _restore_at(ckpt, state, args, workdir)
     z, labels = class_grid_inputs(cfg, n_per_class=args.n_per_class, seed=args.seed)
     sample_fn = make_sample_fn(cfg, nets)
     grid = to_uint8_grid(sample_fn(restored, z, labels), cfg.num_classes, args.n_per_class)
@@ -175,9 +189,7 @@ def cmd_inception(args):
     gen, _, clf = nets
     state = create_state(cfg, nets, make_optimizers(cfg, 1))
     ckpt = CheckpointManager(os.path.join(workdir, "ckpt"))
-    restored = ckpt.restore(state)
-    if restored is None:
-        sys.exit(f"no checkpoint under {workdir}/ckpt")
+    restored = _restore_at(ckpt, state, args, workdir)
 
     n = args.n_samples
     key = jax.random.PRNGKey(args.seed)
@@ -261,12 +273,20 @@ def main(argv=None):
     sp.add_argument("--max-steps", type=int, default=None)
     sp.set_defaults(fn=cmd_train)
 
+    def step_arg(sp):
+        sp.add_argument(
+            "--step", type=int, default=None,
+            help="checkpoint step to restore (default: latest kept)",
+        )
+
     sp = sub.add_parser("eval", help="classifier test error from a checkpoint")
     common(sp)
+    step_arg(sp)
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("sample", help="class-conditional sample grid")
     common(sp)
+    step_arg(sp)
     sp.add_argument("--out", default="samples.png")
     sp.add_argument("--n-per-class", type=int, default=10)
     sp.add_argument("--seed", type=int, default=0)
@@ -274,6 +294,7 @@ def main(argv=None):
 
     sp = sub.add_parser("inception", help="inception-style score of conditional samples")
     common(sp)
+    step_arg(sp)
     sp.add_argument("--n-samples", type=int, default=5000)
     sp.add_argument("--n-splits", type=int, default=10)
     sp.add_argument("--seed", type=int, default=0)
