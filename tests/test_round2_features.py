@@ -435,3 +435,37 @@ def test_train_profile_dir_writes_trace(tmp_path):
         if f.endswith((".pb", ".json.gz", ".trace.json.gz", ".xplane.pb"))
     ]
     assert found, "no trace artifacts written"
+
+
+def test_load_scorer_tf_savedmodel(tmp_path):
+    """The Inception-v3 adapter's SavedModel branch, end-to-end against a
+    real (tiny) TF SavedModel with a serving signature: images resized to
+    299², dict output unwrapped, chunked scoring works."""
+    tf = pytest.importorskip("tensorflow")
+    from triplegan_tpu.eval.inception import inception_score, load_scorer
+
+    class TinyScorer(tf.Module):
+        def __init__(self):
+            super().__init__()
+            self.w = tf.Variable(
+                tf.random.stateless_normal((3, 10), seed=(0, 0)), name="w"
+            )
+
+        @tf.function(
+            input_signature=[tf.TensorSpec([None, 299, 299, 3], tf.float32)]
+        )
+        def __call__(self, x):
+            feats = tf.reduce_mean(x, axis=[1, 2])  # (N, 3)
+            return {"logits": feats @ self.w}
+
+    mod = TinyScorer()
+    d = str(tmp_path / "savedmodel")
+    tf.saved_model.save(mod, d, signatures=mod.__call__)
+
+    scorer = load_scorer(d)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(12, 8, 8, 3) * 2 - 1, jnp.float32)
+    logits = scorer(images)
+    assert logits.shape == (12, 10)
+    mean, std = inception_score(scorer, images, n_splits=3, batch_size=4)
+    assert 1.0 <= mean <= 10.0 and std >= 0.0
