@@ -128,3 +128,48 @@ def test_sharded_step_runs_with_stochastic_layers(eight_devices):
     for k, v in metrics.items():
         assert np.isfinite(float(v)), f"{k} not finite"
     assert int(state.step) == 2
+
+
+def test_sharded_scan_chunk_equals_sharded_sequential(eight_devices):
+    """The production multi-chip path — scan-chunked device-data step over
+    the mesh — must compute the same trajectory as the same sharded step
+    dispatched one-by-one."""
+    from triplegan_tpu.data.pipeline import upload_device_data
+    from triplegan_tpu.train.step import (
+        make_device_train_step,
+        make_scan_device_train_step,
+    )
+
+    cfg = deterministic_config()
+    cfg.batch_size = 16
+    cfg.data_on_device = True
+    nets = make_networks(cfg)
+    opts = make_optimizers(cfg, 16)
+    mesh = pmesh.make_mesh(8)
+    replicated = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    data = upload_device_data(tiny_data(cfg), sharding=replicated)
+
+    step = pmesh.shard_device_train_step(
+        make_device_train_step(
+            cfg, nets, opts, 16, axis_name=pmesh.AXIS, n_shards=8,
+            pseudo_label_mode="argmax",
+        ),
+        mesh,
+    )
+    scan = pmesh.shard_device_train_step(
+        make_scan_device_train_step(
+            cfg, nets, opts, 16, 4, axis_name=pmesh.AXIS, n_shards=8,
+            pseudo_label_mode="argmax",
+        ),
+        mesh,
+    )
+
+    s_seq = jax.device_put(create_state(cfg, nets, opts), replicated)
+    for _ in range(4):
+        s_seq, m_seq = step(s_seq, data)
+    s_scan, m_scan = scan(jax.device_put(create_state(cfg, nets, opts), replicated), data)
+
+    assert int(s_scan.step) == int(s_seq.step) == 4
+    _allclose_trees(s_seq.params, s_scan.params)
+    for k in m_seq:
+        np.testing.assert_allclose(float(m_seq[k]), float(m_scan[k]), rtol=2e-3, atol=2e-3)
