@@ -79,16 +79,10 @@ def cmd_train(args):
 def _restore_at(ckpt, state, args, workdir):
     """Restore the latest checkpoint, or the one named by ``--step``
     (the reference's ``Saver.restore(<specific ckpt>)``)."""
-    step = getattr(args, "step", None)
-    if step is not None and ckpt.latest_step() is None:
-        sys.exit(f"no checkpoint under {workdir}/ckpt")
     try:
-        restored = ckpt.restore(state, step=step)
-    except FileNotFoundError:
-        sys.exit(
-            f"no checkpoint for step {step} under {workdir}/ckpt "
-            f"(latest: {ckpt.latest_step()})"
-        )
+        restored = ckpt.restore(state, step=getattr(args, "step", None))
+    except FileNotFoundError as e:  # explicit --step that doesn't exist
+        sys.exit(f"{e} under {workdir}/ckpt")
     if restored is None:
         sys.exit(f"no checkpoint under {workdir}/ckpt")
     return restored
@@ -175,6 +169,7 @@ def cmd_inception(args):
     or .npz — see eval/inception.load_scorer), fed raw [-1,1] samples."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from triplegan_tpu.ckpt import CheckpointManager
     from triplegan_tpu.configs.base import apply_runtime, make_networks
@@ -205,8 +200,6 @@ def cmd_inception(args):
     # Generate in fixed-size chunks (one compile, bounded activations): 5000
     # STL-10-sized samples in one forward would peak >10 GB of deconv
     # activations; scoring below is chunked for the same reason.
-    import numpy as np
-
     chunk = min(n, max(int(cfg.batch_size), 1))
     pieces = []
     for i in range(0, n, chunk):

@@ -13,6 +13,9 @@ warm-up.
 
 from __future__ import annotations
 
+import json
+import os
+
 import ml_collections
 
 
@@ -136,9 +139,6 @@ def save_config(cfg: ml_collections.ConfigDict, path: str) -> None:
     the exact checkpoint template (RNG impl, network widths, …) without the
     user repeating every ``--set`` override — the reference's ``Config``
     object travels implicitly between its Training/ and Testing/ scripts."""
-    import json
-    import os
-
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(cfg.to_dict(), f, indent=2, default=list, sort_keys=True)
@@ -162,8 +162,6 @@ def merge_saved(cfg: ml_collections.ConfigDict, path: str) -> ml_collections.Con
     re-coerced from JSON lists; keys the current code no longer knows, and
     saved values whose type no longer fits the current field, are skipped
     (forward compatibility with old run dirs)."""
-    import json
-
     with open(path) as f:
         saved = json.load(f)
 
