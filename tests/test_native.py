@@ -1,7 +1,8 @@
 """Native batch assembler: builds with the system toolchain, matches numpy
-fancy indexing exactly, clamps out-of-range indices, falls back cleanly."""
+fancy indexing exactly, rejects out-of-range indices, falls back cleanly."""
 
 import numpy as np
+import pytest
 
 from triplegan_tpu.data import native
 
@@ -32,10 +33,15 @@ def test_gather_float_rows():
     np.testing.assert_array_equal(native.gather_rows(src, idx), src[idx])
 
 
-def test_gather_clamps_out_of_range():
+def test_gather_rejects_out_of_range():
+    """One strict contract on both paths (native clamps at the C++ level as
+    a memory-safety backstop; numpy would wrap negatives — either would
+    silently mask a broken sampler, so the binding raises first)."""
     src = np.arange(10, dtype=np.uint8).reshape(10, 1)
-    out = native.gather_rows(src, np.array([-5, 0, 9, 99]))
-    np.testing.assert_array_equal(out[:, 0], [0, 0, 9, 9])
+    with pytest.raises(IndexError):
+        native.gather_rows(src, np.array([-5, 0]))
+    with pytest.raises(IndexError):
+        native.gather_rows(src, np.array([0, 99]))
 
 
 def test_fallback_on_noncontiguous():
@@ -54,3 +60,19 @@ def test_sampler_uses_gather(monkeypatch):
     b = sampler.next()
     assert b["x_l"].shape == (8, cfg.image_size, cfg.image_size, 3)
     assert b["x_l"].dtype == np.uint8
+
+
+def test_gather_rows_bounds_checked():
+    """The native memcpy gather must raise on bad indices like numpy does,
+    not read out-of-bounds memory."""
+    import numpy as np
+    import pytest
+
+    from triplegan_tpu.data.native import gather_rows
+
+    src = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    with pytest.raises(IndexError):
+        gather_rows(src, np.array([0, 4]))
+    with pytest.raises(IndexError):
+        gather_rows(src, np.array([-1]))
+    np.testing.assert_array_equal(gather_rows(src, np.array([], np.int64)).shape, (0, 5))

@@ -73,6 +73,13 @@ def gather_rows(src: np.ndarray, idx: np.ndarray, n_threads: int = 0) -> np.ndar
     """
     lib = _get_lib()
     idx = np.ascontiguousarray(idx, dtype=np.int64)
+    # One strict contract for both paths: raise on any out-of-range index.
+    # (The C++ clamps as a memory-safety backstop and numpy would wrap
+    # negatives — either silently masks a broken sampler.)
+    if len(idx) and (int(idx.min()) < 0 or int(idx.max()) >= src.shape[0]):
+        raise IndexError(
+            f"gather_rows: index out of bounds for axis 0 with size {src.shape[0]}"
+        )
     if lib is None or not src.flags.c_contiguous:
         return src[idx]
     if n_threads <= 0:
