@@ -144,3 +144,36 @@ def test_inception_score_uniform_vs_confident():
     confident = 50.0 * jnp.eye(k)[np.arange(n) % k]
     score_c, _ = inception_score(lambda x: confident, jnp.zeros((n, 1)), n_splits=2)
     assert score_c > 5.0  # diverse + confident → high IS
+
+
+def test_grid_layout_and_inputs():
+    """Grid geometry: row r is class r, columns share z across rows, and
+    to_uint8_grid places image (r, c) at block (r, c) — a wrong transpose
+    would silently scramble every saved sample sheet."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.helpers import tiny_config
+    from triplegan_tpu.eval.sample import class_grid_inputs, to_uint8_grid
+
+    cfg = tiny_config()
+    z, labels = class_grid_inputs(cfg, n_per_class=3, seed=0)
+    assert z.shape == (cfg.num_classes * 3, cfg.z_dim)
+    np.testing.assert_array_equal(
+        np.asarray(labels), np.repeat(np.arange(cfg.num_classes), 3)
+    )
+    # same z for column c in every class row
+    np.testing.assert_array_equal(np.asarray(z[:3]), np.asarray(z[3:6]))
+
+    # distinct constant images: value encodes (row, col)
+    h = w = 4
+    imgs = jnp.stack(
+        [jnp.full((h, w, 1), (r * 3 + c) / 50.0) for r in range(2) for c in range(3)]
+    )
+    grid = to_uint8_grid(imgs, n_rows=2, n_cols=3)
+    assert grid.shape == (2 * h, 3 * w, 1)
+    for r in range(2):
+        for c in range(3):
+            block = grid[r * h : (r + 1) * h, c * w : (c + 1) * w, 0]
+            expect = int(((r * 3 + c) / 50.0 + 1.0) * 127.5)  # astype truncates
+            assert (block == expect).all(), (r, c)
