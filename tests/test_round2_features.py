@@ -469,3 +469,23 @@ def test_load_scorer_tf_savedmodel(tmp_path):
     assert logits.shape == (12, 10)
     mean, std = inception_score(scorer, images, n_splits=3, batch_size=4)
     assert 1.0 <= mean <= 10.0 and std >= 0.0
+
+
+def test_load_scorer_savedmodel_honors_signature_size(tmp_path):
+    """A SavedModel whose serving signature declares a non-299 spatial size
+    (e.g. a 64² scorer) must be fed at that size, not Inception's 299."""
+    tf = pytest.importorskip("tensorflow")
+    from triplegan_tpu.eval.inception import load_scorer
+
+    class Sized(tf.Module):
+        @tf.function(input_signature=[tf.TensorSpec([None, 64, 64, 3], tf.float32)])
+        def __call__(self, x):
+            tf.debugging.assert_equal(tf.shape(x)[1], 64)
+            return {"logits": tf.reduce_mean(x, axis=[1, 2])}
+
+    mod = Sized()
+    d = str(tmp_path / "sm64")
+    tf.saved_model.save(mod, d, signatures=mod.__call__)
+    scorer = load_scorer(d)
+    logits = scorer(jnp.zeros((3, 8, 8, 3), jnp.float32))
+    assert logits.shape == (3, 3)

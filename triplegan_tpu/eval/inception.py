@@ -75,9 +75,18 @@ def load_scorer(path: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
         fn = mod.signatures.get("serving_default", None) if hasattr(mod, "signatures") else None
         call = fn if fn is not None else mod
 
+        # Spatial size the model expects: read it from the serving
+        # signature's input spec when static; 299 (Inception-v3) otherwise.
+        size = 299
+        specs = getattr(call, "structured_input_signature", None)
+        if specs:
+            flat = tf.nest.flatten(specs)
+            shapes = [s.shape for s in flat if hasattr(s, "shape") and s.shape.rank == 4]
+            if shapes and shapes[0][1] is not None:
+                size = int(shapes[0][1])
+
         def tf_scorer(images):
             x = np.asarray(images, np.float32)
-            size = 299
             xt = tf.image.resize(tf.convert_to_tensor(x), (size, size))
             out = call(xt)
             if isinstance(out, dict):
