@@ -45,3 +45,48 @@ def test_evaluate_error_accumulates_masked_counts():
 def test_evaluate_error_empty_stream_is_full_error():
     err = evaluate_error(lambda s, b: {"correct": 0.0, "count": 0.0}, None, iter([]))
     assert err == 1.0
+
+
+def test_api_doc_symbols_exist():
+    """Every entry point docs/API.md promises must exist — keeps the public
+    API reference from silently rotting."""
+    import importlib
+
+    checks = [
+        ("triplegan_tpu.configs", ["get_config", "REGISTRY"]),
+        ("triplegan_tpu.configs.base",
+         ["display", "make_networks", "save_config", "merge_saved", "apply_runtime"]),
+        ("triplegan_tpu.nn.networks", ["Generator", "Discriminator", "Classifier"]),
+        ("triplegan_tpu.train.state", ["create_state", "TrainState"]),
+        ("triplegan_tpu.train.schedule", ["make_optimizers"]),
+        ("triplegan_tpu.train.step",
+         ["make_train_step", "make_device_train_step",
+          "make_scan_device_train_step", "make_eval_step"]),
+        ("triplegan_tpu.train.loop", ["train"]),
+        ("triplegan_tpu.train.losses",
+         ["d_loss", "g_loss", "c_loss", "sample_pseudo_labels", "c_adversarial_loss"]),
+        ("triplegan_tpu.data.prepare", ["prepare"]),
+        ("triplegan_tpu.data.download", ["download_dataset"]),
+        ("triplegan_tpu.data.datasets",
+         ["load_dataset", "synthetic_dataset", "SemiSupervisedData"]),
+        ("triplegan_tpu.data.pipeline",
+         ["BatchSampler", "upload_device_data", "device_prefetch"]),
+        ("triplegan_tpu.data.ondevice", ["standard_pipeline"]),
+        ("triplegan_tpu.data.zca", ["fit_zca", "apply_zca", "ZCAStats"]),
+        ("triplegan_tpu.parallel.mesh",
+         ["make_mesh", "shard_train_step", "shard_device_train_step",
+          "shard_eval_step", "batch_sharding"]),
+        ("triplegan_tpu.eval.metrics", ["evaluate_error"]),
+        ("triplegan_tpu.eval.sample",
+         ["make_sample_fn", "class_grid_inputs", "to_uint8_grid", "save_png"]),
+        ("triplegan_tpu.eval.inception", ["inception_score", "load_scorer"]),
+        ("triplegan_tpu.ckpt", ["CheckpointManager"]),
+        ("triplegan_tpu.utils.profiling", ["trace"]),
+        ("triplegan_tpu.utils.debug", ["checkify_step"]),
+        ("triplegan_tpu.utils.logging", ["MetricsLogger"]),
+        ("triplegan_tpu.utils.cache", ["enable_compilation_cache"]),
+    ]
+    for mod, names in checks:
+        m = importlib.import_module(mod)
+        for n in names:
+            assert hasattr(m, n), f"{mod}.{n} missing but documented in docs/API.md"
