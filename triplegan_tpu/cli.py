@@ -108,7 +108,7 @@ def cmd_eval(args):
     zca = _resolve_zca(cfg, data, workdir)
     nets = make_networks(cfg)
     state = create_state(cfg, nets, make_optimizers(cfg, 1))
-    ckpt = CheckpointManager(os.path.join(workdir, "ckpt"))
+    ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), write=False)
     restored = _restore_at(ckpt, state, args, workdir)
     # Honor cfg.mesh_shape like the train loop (make_mesh raises rather than
     # silently under-building on insufficient devices).
@@ -151,7 +151,7 @@ def cmd_sample(args):
     workdir = os.path.join(cfg.workdir, cfg.name)
     nets = make_networks(cfg)
     state = create_state(cfg, nets, make_optimizers(cfg, 1))
-    ckpt = CheckpointManager(os.path.join(workdir, "ckpt"))
+    ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), write=False)
     restored = _restore_at(ckpt, state, args, workdir)
     z, labels = class_grid_inputs(cfg, n_per_class=args.n_per_class, seed=args.seed)
     sample_fn = make_sample_fn(cfg, nets)
@@ -183,7 +183,7 @@ def cmd_inception(args):
     nets = make_networks(cfg)
     gen, _, clf = nets
     state = create_state(cfg, nets, make_optimizers(cfg, 1))
-    ckpt = CheckpointManager(os.path.join(workdir, "ckpt"))
+    ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), write=False)
     restored = _restore_at(ckpt, state, args, workdir)
 
     n = args.n_samples
@@ -212,7 +212,11 @@ def cmd_inception(args):
     images = np.concatenate(pieces, axis=0)
 
     if args.scorer_path:
-        score_logits = load_scorer(args.scorer_path)
+        score_logits = load_scorer(
+            args.scorer_path,
+            outputs=args.scorer_outputs,
+            output_name=args.scorer_output_name,
+        )
         label = "external-scored"
     else:
         # The classifier only ever saw whitened inputs during training
@@ -295,6 +299,17 @@ def main(argv=None):
         "--scorer-path", default=None,
         help="external scorer: Inception-v3 SavedModel dir or .npz "
              "(see eval/inception.load_scorer)",
+    )
+    sp.add_argument(
+        "--scorer-outputs", default="auto", choices=("auto", "logits", "probs"),
+        help="what the external scorer emits; 'probs' (or auto-detected "
+             "probability rows) are log-mapped so the IS softmax recovers "
+             "them exactly instead of double-softmaxing",
+    )
+    sp.add_argument(
+        "--scorer-output-name", default=None,
+        help="output tensor name when the SavedModel serving signature has "
+             "multiple outputs",
     )
     sp.set_defaults(fn=cmd_inception)
 

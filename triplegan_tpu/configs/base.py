@@ -43,6 +43,12 @@ def base_config() -> ml_collections.ConfigDict:
                                               # (SURVEY.md §2.1 #3);
                                               # "augment_first" = augment in raw
                                               # pixel space, then whiten
+    cfg.aug_pad_mode = "reflect"              # translate-crop padding: "reflect"
+                                              # or "zeros" (the reference
+                                              # lineage typically zero-pads
+                                              # before the random crop —
+                                              # unverifiable, mount empty; see
+                                              # DESIGN.md deviations #9)
 
     # --- networks (SURVEY.md Appendix B) ----------------------------------
     cfg.z_dim = 100
@@ -118,6 +124,12 @@ def base_config() -> ml_collections.ConfigDict:
                                               # into one XLA program (needs
                                               # data_on_device; log/eval
                                               # cadence rounds to the chunk)
+    cfg.scan_metrics = "last"                 # what a log interval reports
+                                              # from a scan chunk: "last"
+                                              # step's metrics (chunk-
+                                              # subsampled curves) or the
+                                              # in-chunk "mean" (keeps per-
+                                              # iteration loss information)
     cfg.log_every = 100
     cfg.eval_every_epochs = 1                 # 0 disables periodic eval
     cfg.ckpt_every_epochs = 10                # 0 disables periodic ckpts
@@ -151,6 +163,7 @@ def save_config(cfg: ml_collections.ConfigDict, path: str) -> None:
 # come from the current invocation.
 EXEC_KEYS = frozenset({
     "workdir", "data_dir", "mesh_shape", "use_pallas", "scan_steps",
+    "scan_metrics",
     "data_on_device", "log_every", "eval_every_epochs", "ckpt_every_epochs",
     "ckpt_keep", "profile_dir", "profile_steps",
 })
@@ -162,17 +175,19 @@ def merge_saved(cfg: ml_collections.ConfigDict, path: str) -> ml_collections.Con
     re-coerced from JSON lists; keys the current code no longer knows, and
     saved values whose type no longer fits the current field, are skipped
     (forward compatibility with old run dirs)."""
+    import warnings
+
     with open(path) as f:
         saved = json.load(f)
 
-    def _merge(node, d, top):
+    def _merge(node, d, top, prefix=""):
         for k, v in d.items():
             if k not in node or (top and k in EXEC_KEYS):
                 continue
             cur = node[k]
             try:
                 if isinstance(cur, ml_collections.ConfigDict) and isinstance(v, dict):
-                    _merge(cur, v, False)
+                    _merge(cur, v, False, prefix + k + ".")
                 elif isinstance(cur, tuple):
                     node[k] = tuple(
                         tuple(x) if isinstance(x, list) else x for x in v
@@ -180,7 +195,17 @@ def merge_saved(cfg: ml_collections.ConfigDict, path: str) -> ml_collections.Con
                 else:
                     node[k] = v
             except (TypeError, ValueError):
-                continue  # type drift across versions: keep the current default
+                # Type drift across versions: keep the current default, but
+                # say so — a silently-dropped key can make eval build a
+                # template that mismatches the checkpoint, surfacing only as
+                # an opaque orbax restore error (advisor r2 finding).
+                warnings.warn(
+                    f"config.json key '{prefix}{k}'={v!r} does not fit the "
+                    f"current field (default {cur!r} kept); if restore fails, "
+                    f"this divergence is the likely cause",
+                    stacklevel=2,
+                )
+                continue
 
     _merge(cfg, saved, True)
     return cfg

@@ -89,16 +89,26 @@ def fetch(src: Source, raw_dir: str, progress: bool = True) -> str:
             )
         os.replace(tmp, path)
     if src.extract:
-        # Always (re-)extract, even on a checksum-valid cached archive:
-        # extraction is idempotent, and a pre-copied or interrupted-run
-        # tarball would otherwise never be unpacked. filter="data" rejects
-        # path-traversal members (and silences the 3.12+ default-filter
-        # deprecation); older Pythons lack the kwarg.
-        with tarfile.open(path) as tf:
-            try:
-                tf.extractall(raw_dir, filter="data")
-            except TypeError:
-                tf.extractall(raw_dir)
+        # Skip re-extraction only when a sentinel records that THIS verified
+        # archive was already fully unpacked (STL-10's 2.6 GB tarball takes
+        # minutes); a pre-copied or interrupted-run tarball has no sentinel
+        # and still gets extracted. filter="data" rejects path-traversal
+        # members (and silences the 3.12+ default-filter deprecation);
+        # older Pythons lack the kwarg.
+        sentinel = path + ".extracted"
+        done = (
+            cached
+            and os.path.exists(sentinel)
+            and open(sentinel).read().strip() == src.md5
+        )
+        if not done:
+            with tarfile.open(path) as tf:
+                try:
+                    tf.extractall(raw_dir, filter="data")
+                except TypeError:
+                    tf.extractall(raw_dir)
+            with open(sentinel, "w") as f:
+                f.write(src.md5 + "\n")
     if progress and not cached:
         print(f"downloaded {src.filename} ({src.md5})")
     return path

@@ -32,8 +32,10 @@ def random_flip(key: jax.Array, x: jax.Array) -> jax.Array:
     return jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
 
 
-def random_translate(key: jax.Array, x: jax.Array, radius: int) -> jax.Array:
-    """Per-example random translate by up to ±radius px (reflect-pad + crop).
+def random_translate(
+    key: jax.Array, x: jax.Array, radius: int, pad_mode: str = "reflect"
+) -> jax.Array:
+    """Per-example random translate by up to ±radius px (pad + crop).
 
     The reference's "random crop/translate" augmentation [B]. TPU-native
     formulation: the per-example crop is expressed as two one-hot selection
@@ -41,14 +43,25 @@ def random_translate(key: jax.Array, x: jax.Array, radius: int) -> jax.Array:
     batched matmuls the MXU eats for free, instead of a 2-D gather, which
     XLA lowers to a slow scatter/gather loop on TPU (measured ~23% of the
     whole 3-player step at batch 512).
+
+    ``pad_mode``: "reflect" (mirror the border) or "zeros" (constant 0 —
+    the conventional TF ``pad``+``random_crop`` lineage; note 0 is mid-gray
+    in [-1, 1] rescaled space and the mean in whitened space).
     """
     if radius <= 0:
         return x
+    if pad_mode not in ("reflect", "zeros"):
+        raise ValueError(f"pad_mode must be reflect|zeros, got {pad_mode!r}")
     n, h, w, c = x.shape
     pad = radius
     p = h + 2 * pad
     q = w + 2 * pad
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    spec = ((0, 0), (pad, pad), (pad, pad), (0, 0))
+    xp = (
+        jnp.pad(x, spec, mode="reflect")
+        if pad_mode == "reflect"
+        else jnp.pad(x, spec, mode="constant")
+    )
     kx, ky = jax.random.split(key)
     off_y = jax.random.randint(ky, (n,), 0, 2 * pad + 1)
     off_x = jax.random.randint(kx, (n,), 0, 2 * pad + 1)
@@ -66,6 +79,7 @@ def standard_pipeline(
     *,
     translate: int = 0,
     flip: bool = False,
+    pad_mode: str = "reflect",
     zca_mean: Optional[jax.Array] = None,
     zca_whiten: Optional[jax.Array] = None,
     train: bool = True,
@@ -96,7 +110,7 @@ def standard_pipeline(
     if train and key is not None:
         kt, kf = jax.random.split(key)
         if translate > 0:
-            x = random_translate(kt, x, translate)
+            x = random_translate(kt, x, translate, pad_mode)
         if flip:
             x = random_flip(kf, x)
     if has_zca and not zca_first:

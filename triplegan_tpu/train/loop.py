@@ -136,6 +136,7 @@ def train(
             cfg, nets, optimizers, total_steps, chunk, zca,
             axis_name=axis, n_shards=n_dev,
             pseudo_label_mode=cfg.get("pseudo_label_mode", "sample"),
+            metrics_mode=str(cfg.get("scan_metrics", "last")),
         )
     scan_step = None
     if n_dev > 1:
@@ -228,7 +229,10 @@ def train(
             if verbose:
                 print(f"wrote profile trace to {cfg.profile_dir}")
 
-        if (it // cfg.log_every) > (prev // cfg.log_every) or it == end_step:
+        # cadence 0 = interval logging disabled (the final fetch still runs,
+        # matching the eval/ckpt cadence-0 convention below)
+        log_hit = cfg.log_every and (it // cfg.log_every) > (prev // cfg.log_every)
+        if log_hit or it == end_step:
             metrics = jax.device_get(metrics)
             last_metrics = {k: float(v) for k, v in metrics.items()}
             dt = time.perf_counter() - t_log

@@ -86,6 +86,7 @@ def make_train_step(
             x_uint8,
             translate=int(cfg.aug_translate),
             flip=bool(cfg.aug_flip),
+            pad_mode=str(cfg.get("aug_pad_mode", "reflect")),
             zca_mean=zca_mean,
             zca_whiten=zca_whiten,
             train=True,
@@ -334,7 +335,20 @@ def _make_batch_sampler(cfg, axis_name: Optional[str], n_shards: int):
     return sample
 
 
-def make_scan_train_step(step_fn, n_steps: int):
+def _reduce_scan_metrics(ms, mode: str):
+    """Collapse per-step stacked metrics from a scan chunk. ``"last"``
+    reproduces what a per-step log interval would fetch; ``"mean"``
+    averages over the chunk so loss curves keep per-iteration information
+    instead of being chunk-subsampled (the reference logs every iteration;
+    see DESIGN.md deviations #10)."""
+    if mode == "mean":
+        return jax.tree.map(lambda a: jnp.mean(a, axis=0), ms)
+    if mode == "last":
+        return jax.tree.map(lambda a: a[-1], ms)
+    raise ValueError(f"scan_metrics must be last|mean, got {mode!r}")
+
+
+def make_scan_train_step(step_fn, n_steps: int, metrics_mode: str = "last"):
     """Chain ``n_steps`` device-data steps into ONE XLA program via
     ``lax.scan`` — zero Python dispatch between steps in the chunk.
 
@@ -342,8 +356,8 @@ def make_scan_train_step(step_fn, n_steps: int):
     ``data`` operand is loop-invariant; per-step batches are drawn inside the
     compiled body keyed by the advancing ``state.step``, so the scanned chunk
     computes exactly the same sequence of updates as ``n_steps`` separate
-    calls. Returns the LAST step's metrics (matching what a log interval
-    fetches).
+    calls. Metrics are reduced per ``metrics_mode`` (last step's values, or
+    the in-chunk mean — ``cfg.scan_metrics``).
     """
 
     def scanned(state, data):
@@ -352,7 +366,7 @@ def make_scan_train_step(step_fn, n_steps: int):
             return s2, m
 
         state, ms = lax.scan(body, state, None, length=n_steps)
-        return state, jax.tree.map(lambda a: a[-1], ms)
+        return state, _reduce_scan_metrics(ms, metrics_mode)
 
     return scanned
 
@@ -367,6 +381,7 @@ def make_scan_device_train_step(
     axis_name: Optional[str] = None,
     pseudo_label_mode: str = "sample",
     n_shards: int = 1,
+    metrics_mode: str = "last",
 ):
     """Scan chunk with HOISTED batch sampling: all ``n_steps`` per-player
     batches are drawn up front as one vmapped gather (one big HBM gather
@@ -384,7 +399,7 @@ def make_scan_device_train_step(
         steps = state.step + jnp.arange(n_steps, dtype=state.step.dtype)
         batches = jax.vmap(lambda s: sample(state.rng, s, data))(steps)
         state, ms = lax.scan(core, state, batches)
-        return state, jax.tree.map(lambda a: a[-1], ms)
+        return state, _reduce_scan_metrics(ms, metrics_mode)
 
     return scanned
 
