@@ -42,6 +42,12 @@ def main() -> None:
         # Hardware RBG PRNG: much cheaper dropout/noise mask generation on
         # TPU than the default threefry counter-based PRNG.
         _jax.config.update("jax_default_prng_impl", "rbg")
+    if os.environ.get("BENCH_DROPOUT_BITS", "8") == "8":
+        # u8-bits dropout masks (4× less RNG material; keep-prob quantized
+        # to n/256 — exact for 0.5, ≤0.1% bias at 0.8). A/B 2026-08-17:
+        # 8587 vs 8440 img/s. Same knob class as rbg: changes the random
+        # draw, preserves the distribution; echoed in the config field.
+        os.environ["TRIPLEGAN_DROPOUT_BITS"] = "8"
 
     from triplegan_tpu.configs import get_config
     from triplegan_tpu.configs.base import make_networks
@@ -74,6 +80,7 @@ def main() -> None:
     cfg.compute_dtype = dtype
     cfg.fused_clf_forward = os.environ.get("BENCH_FUSED_CLF", "0") == "1"
     cfg.use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    cfg.share_pseudo_forward = os.environ.get("BENCH_SHARE_FWD", "0") == "1"
     if os.environ.get("BENCH_NO_AUG", "0") == "1":
         cfg.aug_translate = 0
         cfg.aug_flip = False
@@ -123,19 +130,26 @@ def main() -> None:
         )
         next_batch = lambda: next(batches)
 
-    # Model FLOPs from XLA's cost analysis of the compiled step, so the
-    # recorded artifact carries its own MFU denominator instead of only the
-    # estimated-A100 ratio (VERDICT r2 next-step #2). The program covers
-    # scan_steps train steps; normalize to one. AOT-compile once and use the
-    # same executable for the timed loop (no second jit-cache compile).
+    # Model FLOPs from XLA's cost analysis, so the recorded artifact carries
+    # its own MFU denominator instead of only the estimated-A100 ratio
+    # (VERDICT r2 next-step #2). Analyzed on a scan-FREE single-step lowering:
+    # XLA's cost model counts a lax.scan body once (not ×trip count), so the
+    # scanned program's flops ARE per-step flops only by accident of that
+    # convention — the unchunked step is unambiguous. (Measured r3: 4.007
+    # TFLOP/step at batch 256, matching the r2 roofline analysis.)
     flops_per_step = None
     try:
-        compiled = step.lower(state, next_batch()).compile()
-        cost = compiled.cost_analysis()
+        if on_device:
+            cost_fn = make_device_train_step(cfg, nets, opts, total_steps, zca_stats=zca)
+        else:
+            cost_fn = make_train_step(cfg, nets, opts, total_steps, zca_stats=zca)
+        lowered = jax.jit(cost_fn).lower(state, next_batch())
+        cost = lowered.cost_analysis()
+        if cost is None:  # axon/TPU plugin: only the compiled executable knows
+            cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops_per_step = float(cost["flops"]) / scan_steps
-        step = compiled
+        flops_per_step = float(cost["flops"])
     except Exception:
         pass  # cost model unavailable on this backend — fields stay null
 
@@ -197,8 +211,10 @@ def main() -> None:
                     "batch": batch,
                     "dtype": dtype,
                     "prng_impl": "rbg" if os.environ.get("BENCH_RBG", "1") == "1" else "threefry",
+                    "dropout_bits": int(os.environ.get("TRIPLEGAN_DROPOUT_BITS", "32")),
                     "scan_steps": scan_steps,
                     "data_on_device": on_device,
+                    "share_pseudo_forward": cfg.share_pseudo_forward,
                 },
             }
         )

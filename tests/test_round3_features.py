@@ -324,6 +324,80 @@ def test_train_loop_scan_metrics_mean(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# share_pseudo_forward (VERDICT r2 next-step #9 — measured FLOP lever)
+# ---------------------------------------------------------------------------
+
+
+def test_share_pseudo_forward_grads_match_naive():
+    """With stochastic layers off, argmax pseudo-labels, and C's unlabeled
+    batch set equal to D's, the shared-forward step (one classifier forward
+    + vjp-grafted cotangent) must produce the SAME updates as the unshared
+    step — train-mode BN uses batch statistics, so the only differences
+    (BN-state chaining order, dropout keys) are inert under this setup.
+    This pins the correctness of the vjp composition."""
+    from tests.helpers import deterministic_config
+    from triplegan_tpu.data.pipeline import BatchSampler
+    from triplegan_tpu.train.schedule import make_optimizers
+    from triplegan_tpu.train.state import create_state
+    from triplegan_tpu.train.step import make_train_step
+
+    cfg = deterministic_config()
+    nets = make_networks(cfg)
+    opts = make_optimizers(cfg, 8)
+    data = tiny_data(cfg)
+    sampler = BatchSampler(data, cfg.batch_size, seed=0)
+    batch = sampler.next_triple(cfg.z_dim, cfg.num_classes)
+    batch["c"]["x_u"] = batch["d"]["x_u"]  # shared unlabeled batch
+
+    def run(share):
+        c = deterministic_config()
+        c.share_pseudo_forward = share
+        step = jax.jit(
+            make_train_step(c, nets, opts, 8, pseudo_label_mode="argmax")
+        )
+        s, m = step(create_state(c, nets, opts), batch)
+        return s, m
+
+    s_a, m_a = run(False)
+    s_b, m_b = run(True)
+    for k in m_a:
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]), atol=1e-4, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4)
+
+
+def test_share_pseudo_forward_smoke_trains():
+    """Full stochastic config: the shared-forward step runs, losses are
+    finite, and all three players' params move."""
+    from tests.helpers import tiny_config
+    from triplegan_tpu.data.pipeline import BatchSampler
+    from triplegan_tpu.train.schedule import make_optimizers
+    from triplegan_tpu.train.state import create_state
+    from triplegan_tpu.train.step import make_train_step
+
+    cfg = tiny_config()
+    cfg.share_pseudo_forward = True
+    nets = make_networks(cfg)
+    opts = make_optimizers(cfg, 8)
+    sampler = BatchSampler(tiny_data(cfg), cfg.batch_size, seed=0)
+    step = jax.jit(make_train_step(cfg, nets, opts, 8))
+    state = create_state(cfg, nets, opts)
+    before = jax.tree.map(np.asarray, state.params)
+    for _ in range(2):
+        state, metrics = step(state, sampler.next_triple(cfg.z_dim, cfg.num_classes))
+    for k in ("loss_d", "loss_g", "loss_c"):
+        assert np.isfinite(float(metrics[k]))
+    for pl in ("gen", "disc", "clf"):
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree.leaves(before[pl]), jax.tree.leaves(state.params[pl])
+            )
+        )
+        assert moved, f"{pl} params did not move"
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r2 items
 # ---------------------------------------------------------------------------
 

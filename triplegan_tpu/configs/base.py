@@ -87,6 +87,14 @@ def base_config() -> ml_collections.ConfigDict:
                                               # deterministic pseudo-labels
     cfg.ddinit = False                        # data-dependent weight-norm init
                                               # (Salimans-Kingma) on first batch
+    cfg.share_pseudo_forward = False          # share ONE classifier forward
+                                              # between D's pseudo-labeling and
+                                              # C's unlabeled stream (same
+                                              # batch) — cuts 1 of 10 clf
+                                              # forward-equivalents per step;
+                                              # deviation from the reference's
+                                              # independent batches (DESIGN.md
+                                              # deviations #11)
 
     # --- optimization ------------------------------------------------------
     cfg.batch_size = 100                      # per stream (labeled/unlabeled/gen)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools as _functools
 import math
+import os as _os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -130,6 +131,44 @@ def conv2d_init(
     return p
 
 
+def _conv3x3_patches(x: jax.Array, w: jax.Array, padding: str) -> jax.Array:
+    """3×3 stride-1 conv as explicit patches + one K=9·Cin matmul.
+
+    For first-layer convs with tiny Cin (classifier Cin=3, D's image⊕label
+    input Cin=13), XLA's direct conv runs at 6–22% MXU (r3 trace): the
+    implicit-GEMM contraction depth 9·Cin ≪ 128 and the filter-gradient
+    orientation is worse still (M=Cin sublane rows). Materializing the nine
+    shifted views and contracting once makes forward a (N·H·W, 9Cin)×(9Cin,
+    Cout) dot, and — via this formulation's autodiff transpose — the wgrad a
+    K-huge reduction dot and the dgrad a K=Cout dot + overlap-add, all far
+    better MXU shapes. Measured A/B in docs/DESIGN.md's perf journal.
+    """
+    pad = 1 if padding == "SAME" else 0
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0))) if pad else x
+    n, hp, wp, c = xp.shape
+    ho, wo = hp - 2, wp - 2
+    patches = jnp.concatenate(
+        [xp[:, dy : dy + ho, dx : dx + wo, :] for dy in range(3) for dx in range(3)],
+        axis=-1,
+    )  # (N, Ho, Wo, 9C) — same (dy, dx, c) order as w.reshape(9C, Cout)
+    y = lax.dot_general(
+        patches.reshape(-1, 9 * c),
+        w.reshape(9 * c, -1),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y.reshape(n, ho, wo, -1).astype(x.dtype)
+
+
+# A/B 2026-08-17 (full step, real chip): patches 7106 img/s vs direct-conv
+# 8440 — the materialized 9·Cin patches tensor is pure extra HBM traffic
+# (D's 768-row 13-channel input: 184 MB per use), and the first-layer convs
+# are HBM-bound, not MXU-bound (fwd writes its 67 MB output at ≥82 µs floor
+# vs 110 µs measured), so there was never the MXU headroom the utilization
+# number suggested. Kept off-by-default with this record.
+_SMALLCIN_IMPL = _os.environ.get("TRIPLEGAN_SMALLCIN", "conv")
+
+
 def conv2d_apply(
     p: Params,
     x: jax.Array,
@@ -141,14 +180,22 @@ def conv2d_apply(
         w = _wn_kernel(p["v"], p["g"], (0, 1, 2))
     else:
         w = p["w"]
-    dn = lax.conv_dimension_numbers(x.shape, w.shape, _CONV_DIMS)
-    y = lax.conv_general_dilated(
-        x,
-        w.astype(x.dtype),
-        window_strides=(stride, stride),
-        padding=padding,
-        dimension_numbers=dn,
-    )
+    if (
+        _SMALLCIN_IMPL == "patches"
+        and w.shape[0] == w.shape[1] == 3
+        and stride == 1
+        and 9 * w.shape[2] <= 128
+    ):
+        y = _conv3x3_patches(x, w.astype(x.dtype), padding)
+    else:
+        dn = lax.conv_dimension_numbers(x.shape, w.shape, _CONV_DIMS)
+        y = lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=dn,
+        )
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y.astype(x.dtype)
@@ -248,7 +295,6 @@ def _deconv2d_subpixel(x: jax.Array, w: jax.Array, stride: int) -> jax.Array:
     return y
 
 
-import os as _os
 
 _DECONV_IMPL = _os.environ.get("TRIPLEGAN_DECONV", "subpixel")
 
@@ -362,6 +408,18 @@ def dropout(key: Optional[jax.Array], x: jax.Array, rate: float, *, train: bool)
     if not train or rate <= 0.0 or key is None:
         return x
     keep = 1.0 - rate
+    if _os.environ.get("TRIPLEGAN_DROPOUT_BITS", "32") == "8":
+        # Measured variant (docs/DESIGN.md perf journal): draw the mask from
+        # uint8 random bits instead of the u32-bits→f32-uniform bernoulli
+        # path — 4× less RNG material generated, moved between layouts, and
+        # kept as AD residuals. The keep probability quantizes to n/256
+        # (exact for the networks' 0.5; ≤0.4% relative bias otherwise),
+        # and the scale uses the ACTUAL quantized keep so the estimator
+        # stays unbiased.
+        thresh = max(int(round(keep * 256.0)), 1)
+        bits = jax.random.bits(key, x.shape, dtype=jnp.uint8)
+        mask = (bits < thresh).astype(x.dtype) * (256.0 / thresh)
+        return x * mask
     mask = jax.random.bernoulli(key, p=keep, shape=x.shape)
     # multiply (not select): the scaled mask fuses into neighboring
     # elementwise chains and its VJP is a plain multiply too.

@@ -107,6 +107,8 @@ def make_train_step(
             return tree
         return lax.pmean(tree, axis_name)
 
+    share_fwd = bool(cfg.get("share_pseudo_forward", False))
+
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
         step_no = state.step
         rng = jax.random.fold_in(state.rng, step_no)
@@ -129,9 +131,27 @@ def make_train_step(
             params["gen"], bn["gen"], z_d, y_gd, train=True, axis_name=axis_name
         )
         x_g = whiten_gen(lax.stop_gradient(x_g_raw))
-        logits_c_u, _ = clf.apply(
-            params["clf"], bn["clf"], x_u, train=True, rng=ks[2], axis_name=axis_name
-        )
+        if share_fwd:
+            # Measured FLOP lever (VERDICT r2 next-step #9, off by default —
+            # docs/DESIGN.md deviations #11): D's pseudo-label forward and
+            # C's unlabeled-stream forward use the SAME batch and the same
+            # single classifier forward. The primal+vjp are taken here at
+            # the current C params (exactly where C's update differentiates);
+            # C's loss consumes the logits as an input and the cotangent is
+            # grafted back through vjp_u below — eliminating 1 of the 10
+            # classifier-forward-equivalents per iteration.
+            def fwd_u(pc):
+                lg, s_new = clf.apply(
+                    pc, bn["clf"], x_u, train=True, rng=ks[2], axis_name=axis_name
+                )
+                return lg, s_new
+
+            logits_c_u, vjp_u, bn_u = jax.vjp(fwd_u, params["clf"], has_aux=True)
+        else:
+            vjp_u = bn_u = None
+            logits_c_u, _ = clf.apply(
+                params["clf"], bn["clf"], x_u, train=True, rng=ks[2], axis_name=axis_name
+            )
         y_c = losses.sample_pseudo_labels(ks[3], logits_c_u, pseudo_label_mode)
 
         b = x_l.shape[0]
@@ -181,7 +201,7 @@ def make_train_step(
         # ================= C update (sees UPDATED D and G) ===================
         bc = batch["c"]
         x_l_c = preprocess(ks[6], bc["x_l"])
-        x_u_c = preprocess(ks[7], bc["x_u"])
+        x_u_c = x_u if share_fwd else preprocess(ks[7], bc["x_u"])
         y_l_c = bc["y_l"]
         z_c = bc["z"].astype(cdt)
         y_gc = bc["y_g"]
@@ -192,6 +212,25 @@ def make_train_step(
         x_g_c = whiten_gen(lax.stop_gradient(x_g_c_raw))
 
         fused_clf = bool(cfg.get("fused_clf_forward", False))
+
+        def c_loss_shared(pc, log_u_in):
+            # Shared-forward variant: the unlabeled-stream logits arrive as
+            # an argument (primal computed pre-D-update, identical params);
+            # BN stats chain u → l → g here instead of l → u → g.
+            log_l, s1 = clf.apply(
+                pc, bn_u, x_l_c, train=True, rng=ks[8], axis_name=axis_name
+            )
+            log_g, s3 = clf.apply(
+                pc, s1, x_g_c, train=True, rng=ks[10], axis_name=axis_name
+            )
+            logit_d_cla, _ = disc.apply(
+                pd_new, bn["disc"], x_u_c, y_c, train=True, rng=ks[12]
+            )
+            total, terms = losses.c_loss(
+                log_l, y_l_c, logit_d_cla, log_u_in, y_c, log_g, y_gc,
+                alpha, alpha_p_now,
+            )
+            return total, (s3, terms)
 
         def c_loss_fn(pc):
             if fused_clf:
@@ -230,9 +269,15 @@ def make_train_step(
             )
             return total, (s3, terms)
 
-        (c_total, (bn_c_new, c_terms)), gc = jax.value_and_grad(
-            c_loss_fn, has_aux=True
-        )(params["clf"])
+        if share_fwd:
+            (c_total, (bn_c_new, c_terms)), (gc, dlog_u) = jax.value_and_grad(
+                c_loss_shared, argnums=(0, 1), has_aux=True
+            )(params["clf"], logits_c_u)
+            gc = jax.tree.map(jnp.add, gc, vjp_u(dlog_u)[0])
+        else:
+            (c_total, (bn_c_new, c_terms)), gc = jax.value_and_grad(
+                c_loss_fn, has_aux=True
+            )(params["clf"])
         gc = pmean(gc)
         upd_c, opt_c_new = opt_c.update(gc, opt["clf"], params["clf"])
         pc_new = optax.apply_updates(params["clf"], upd_c)
