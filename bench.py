@@ -67,9 +67,10 @@ def main() -> None:
     )
 
     # Defaults are the measured optimum (see docs/DESIGN.md perf journal):
-    # batch 256 edges out 512 post-subpixel-deconv; 10-step scan chunks
-    # remove per-step dispatch.
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    # with u8 dropout the r3 batch sweep peaks at 384 (256→8587, 320→8491,
+    # 384→8675/8669, 448→8428, 512→8418); 10-step scan chunks remove
+    # per-step dispatch.
+    batch = int(os.environ.get("BENCH_BATCH", "384"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     n_steps = int(os.environ.get("BENCH_STEPS", "8"))
     baseline = float(os.environ.get("BENCH_BASELINE_IMG_S", "2500"))

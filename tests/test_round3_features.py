@@ -402,6 +402,31 @@ def test_share_pseudo_forward_smoke_trains():
 # ---------------------------------------------------------------------------
 
 
+def test_final_eval_refreshed_when_run_ends_mid_epoch(tmp_path):
+    """A run that stops between epoch boundaries must report the FINAL
+    state's test error, not the stale last periodic eval — `cli eval` on the
+    final checkpoint and the train loop's 'done' line are compared by the
+    parity protocol (docs/PARITY.md §4)."""
+    from triplegan_tpu.data.pipeline import BatchSampler
+    from triplegan_tpu.train.loop import _test_stream, train
+    from triplegan_tpu.train.step import make_eval_step
+    from triplegan_tpu.eval.metrics import evaluate_error
+
+    cfg = tiny_config()
+    cfg.workdir = str(tmp_path)
+    cfg.steps_per_epoch = 4
+    cfg.epochs = 2
+    cfg.eval_every_epochs = 1
+    data = tiny_data(cfg)
+    result = train(cfg, data=data, max_steps=6, verbose=False)  # ends mid-epoch 2
+    assert result["steps"] == 6
+    nets = make_networks(cfg)
+    eval_step = jax.jit(make_eval_step(cfg, nets))
+    sampler = BatchSampler(data, cfg.batch_size, seed=cfg.seed)
+    want = evaluate_error(eval_step, result["state"], _test_stream(sampler, None))
+    np.testing.assert_allclose(result["test_error"], want, atol=1e-6)
+
+
 def test_restore_only_manager_preserves_tmp_dirs(tmp_path):
     """A restore-only manager (eval/sample against a possibly-live run dir)
     must NOT purge *.orbax-checkpoint-tmp — that could destroy another

@@ -194,6 +194,7 @@ def train(
     end_step = total_steps if max_steps is None else min(total_steps, start_step + max_steps)
     last_metrics = {}
     test_error = None
+    eval_at = -1
     # Optional hot-loop trace (reference's nvprof/TF-timeline equivalent,
     # SURVEY §5): bracket `profile_steps` steps after a short warmup that
     # excludes compilation, fencing on the step outputs at both edges so the
@@ -249,6 +250,7 @@ def train(
         # cadence 0 = disabled (final eval/ckpt after the loop still run)
         if epoch_done and cfg.eval_every_epochs and epoch % cfg.eval_every_epochs == 0:
             test_error = evaluate_error(eval_step, state, _test_stream(sampler, sharding))
+            eval_at = it
             logger.scalars(it, {"test_error": test_error})
             if verbose:
                 print(f"epoch {epoch}: test error {100 * test_error:.2f}%")
@@ -262,8 +264,13 @@ def train(
     if profile_on:  # run ended inside the profiled window
         jax.block_until_ready(state)
         jax.profiler.stop_trace()
-    if test_error is None:
+    if test_error is None or eval_at != it:
+        # Re-evaluate at the FINAL state when the last periodic eval is
+        # stale (run ended mid-epoch): the reported "done" error must match
+        # what `cli eval` computes from the final checkpoint (the parity
+        # protocol compares exactly these two numbers, docs/PARITY.md §4).
         test_error = evaluate_error(eval_step, state, _test_stream(sampler, sharding))
+        logger.scalars(it, {"test_error": test_error})
     ckpt.save(int(state.step), state)
     ckpt.close()
     logger.close()
