@@ -15,7 +15,7 @@ the driver-set target is ≥5× that per chip. Override via
 BENCH_BASELINE_IMG_S.
 
 Tunables: BENCH_BATCH (default 256), BENCH_DTYPE (default bfloat16),
-BENCH_SCAN (default 10 — train steps per lax.scan chunk / dispatch),
+BENCH_SCAN (default 20 — train steps per lax.scan chunk / dispatch),
 BENCH_STEPS (default 8 — number of *dispatches*, so the timed region runs
 BENCH_STEPS × BENCH_SCAN train steps), BENCH_DEVICE_DATA (default 1 —
 HBM-resident dataset; 0 = host-fed double-buffered pipeline, where
@@ -68,8 +68,8 @@ def main() -> None:
 
     # Defaults are the measured optimum (see docs/DESIGN.md perf journal):
     # with u8 dropout the r3 batch sweep peaks at 384 (256→8587, 320→8491,
-    # 384→8675/8669, 448→8428, 512→8418); 10-step scan chunks remove
-    # per-step dispatch.
+    # 384→8675/8669, 448→8428, 512→8418); scan chunks remove per-step
+    # dispatch (10→8669, 20→8712, 40→8718 — plateau; default 20).
     batch = int(os.environ.get("BENCH_BATCH", "384"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     n_steps = int(os.environ.get("BENCH_STEPS", "8"))
@@ -105,7 +105,7 @@ def main() -> None:
     on_device = os.environ.get("BENCH_DEVICE_DATA", "1") == "1"
     # scan only applies to the device-data step (host path needs a fresh
     # batch per step); keep the throughput math consistent.
-    scan_steps = int(os.environ.get("BENCH_SCAN", "10")) if on_device else 1
+    scan_steps = int(os.environ.get("BENCH_SCAN", "20")) if on_device else 1
     if on_device:
         # HBM-resident dataset, batches sampled inside the compiled step —
         # zero host↔device transfers in the hot loop.
