@@ -82,12 +82,14 @@ def test_winograd_matches_xla():
 
 
 @pytest.mark.parametrize("cin,cout,pad", [(3, 128, "SAME"), (13, 32, "SAME"), (1, 8, "VALID")])
-def test_small_cin_patches_conv_matches_direct(cin, cout, pad):
+def test_small_cin_patches_conv_matches_direct(cin, cout, pad, monkeypatch):
     """The patches+dot formulation for tiny-Cin first layers (r3 trace: XLA
     direct conv at 6–22% MXU there) is numerically the same conv, and
-    conv2d_apply dispatches to it for 9·Cin ≤ 128."""
+    conv2d_apply genuinely dispatches to it for 9·Cin ≤ 128 under
+    TRIPLEGAN_SMALLCIN=patches (env read at trace time)."""
     from triplegan_tpu.nn import layers as L
 
+    monkeypatch.setenv("TRIPLEGAN_SMALLCIN", "patches")
     rng = np.random.RandomState(5)
     x = jnp.asarray(rng.randn(2, 8, 8, cin), jnp.float32)
     w = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, jnp.float32)
@@ -96,10 +98,17 @@ def test_small_cin_patches_conv_matches_direct(cin, cout, pad):
         np.asarray(L._conv3x3_patches(x, w, pad)), np.asarray(ref),
         atol=1e-4, rtol=1e-4,
     )
+    calls = []
+    real_patches = L._conv3x3_patches
+    monkeypatch.setattr(
+        L, "_conv3x3_patches",
+        lambda *a, **k: (calls.append(1), real_patches(*a, **k))[1],
+    )
     np.testing.assert_allclose(
         np.asarray(L.conv2d_apply({"w": w}, x, padding=pad)), np.asarray(ref),
         atol=1e-4, rtol=1e-4,
     )
+    assert calls, "conv2d_apply did not dispatch to the patches formulation"
     # gradients route through the same formulation
     g = jnp.asarray(rng.randn(*ref.shape), jnp.float32)
     gx_r, gw_r = jax.grad(
@@ -131,6 +140,20 @@ def test_dropout_u8_bits_variant(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(L.dropout(key, x, 0.5, train=False)), np.asarray(x)
     )
+
+
+def test_dropout_u8_bits_tiny_rate_is_noop(monkeypatch):
+    """rate small enough that keep rounds to 256/256 must be an exact no-op —
+    regression: the u8 comparison `bits < 256` wraps the Python int to
+    uint8(0) and would silently zero the whole activation."""
+    from triplegan_tpu.nn import layers as L
+
+    monkeypatch.setenv("TRIPLEGAN_DROPOUT_BITS", "8")
+    key = jax.random.PRNGKey(1)
+    x = jnp.ones((64, 32), jnp.float32)
+    for rate in (1e-4, 1e-3, 0.00195):
+        y = np.asarray(L.dropout(key, x, rate, train=True))
+        np.testing.assert_array_equal(y, np.asarray(x))
 
 
 def test_dropout_u8_bits_nondefault():

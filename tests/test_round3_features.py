@@ -495,12 +495,39 @@ def test_fetch_extraction_sentinel(tmp_path, monkeypatch):
     sentinel = raw / "data.tar.gz.extracted"
     assert sentinel.exists()
 
-    # Second fetch: must skip extraction entirely.
+    # Second fetch with the tree intact: must skip extraction entirely.
+    import triplegan_tpu.data.download as dl
+
+    opens = []
+    real_open = dl.tarfile.open
+    monkeypatch.setattr(
+        dl.tarfile, "open", lambda *a, **k: (opens.append(1), real_open(*a, **k))[1]
+    )
+    fetch(src, str(raw), progress=False)
+    assert not opens, "sentinel should skip re-extract while the tree exists"
+
+    # Deleted extracted tree → self-heals despite a valid sentinel.
     (raw / "payload.txt").unlink()
     fetch(src, str(raw), progress=False)
-    assert not (raw / "payload.txt").exists(), "sentinel should skip re-extract"
+    assert (raw / "payload.txt").exists(), "missing members must re-extract"
 
     # Stale sentinel (different checksum) → re-extract.
     sentinel.write_text("0" * 32)
     fetch(src, str(raw), progress=False)
     assert (raw / "payload.txt").exists()
+
+
+def test_share_and_fused_flags_are_mutually_exclusive():
+    """share_pseudo_forward replaces the C update entirely, so combining it
+    with fused_clf_forward would silently measure shared-only; the step
+    constructor must refuse the combination."""
+    from triplegan_tpu.train.schedule import make_optimizers
+    from triplegan_tpu.train.step import make_train_step
+
+    cfg = tiny_config()
+    cfg.share_pseudo_forward = True
+    cfg.fused_clf_forward = True
+    nets = make_networks(cfg)
+    opts = make_optimizers(cfg, 8)
+    with pytest.raises(ValueError, match="mutually"):
+        make_train_step(cfg, nets, opts, 8)

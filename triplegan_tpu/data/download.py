@@ -96,19 +96,25 @@ def fetch(src: Source, raw_dir: str, progress: bool = True) -> str:
         # members (and silences the 3.12+ default-filter deprecation);
         # older Pythons lack the kwarg.
         sentinel = path + ".extracted"
-        done = (
-            cached
-            and os.path.exists(sentinel)
-            and open(sentinel).read().strip() == src.md5
-        )
+        done = False
+        if cached and os.path.exists(sentinel):
+            # Sentinel line 1 is the archive md5; the rest are the top-level
+            # members it produced. Skip only if those still exist, so a
+            # deleted/partially-removed extracted tree self-heals instead of
+            # failing later with no hint.
+            lines = open(sentinel).read().splitlines()
+            done = bool(lines) and lines[0] == src.md5 and all(
+                os.path.exists(os.path.join(raw_dir, m)) for m in lines[1:]
+            )
         if not done:
             with tarfile.open(path) as tf:
+                tops = sorted({m.name.split("/", 1)[0] for m in tf.getmembers()})
                 try:
                     tf.extractall(raw_dir, filter="data")
                 except TypeError:
                     tf.extractall(raw_dir)
             with open(sentinel, "w") as f:
-                f.write(src.md5 + "\n")
+                f.write("\n".join([src.md5] + tops) + "\n")
     if progress and not cached:
         print(f"downloaded {src.filename} ({src.md5})")
     return path

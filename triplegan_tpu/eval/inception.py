@@ -172,7 +172,15 @@ def load_scorer(
 
     def npz_scorer(images):
         x = jnp.reshape(jnp.asarray(images), (images.shape[0], -1))
-        out = np.asarray(x @ w + b)
-        return jnp.asarray(_as_logits(out, outputs, npz_state))
+        out = x @ w + b
+        if outputs == "logits":
+            return out
+        if outputs == "auto" and "is_probs" not in npz_state:
+            # Probe the first batch on the host (emits the probs warning);
+            # every later batch stays on device.
+            _as_logits(np.asarray(out), outputs, npz_state)
+        if outputs == "probs" or npz_state.get("is_probs"):
+            return jnp.log(jnp.maximum(out, 1e-12))
+        return out
 
     return npz_scorer

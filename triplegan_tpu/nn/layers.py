@@ -165,8 +165,8 @@ def _conv3x3_patches(x: jax.Array, w: jax.Array, padding: str) -> jax.Array:
 # (D's 768-row 13-channel input: 184 MB per use), and the first-layer convs
 # are HBM-bound, not MXU-bound (fwd writes its 67 MB output at ≥82 µs floor
 # vs 110 µs measured), so there was never the MXU headroom the utilization
-# number suggested. Kept off-by-default with this record.
-_SMALLCIN_IMPL = _os.environ.get("TRIPLEGAN_SMALLCIN", "conv")
+# number suggested. Kept off-by-default (TRIPLEGAN_SMALLCIN=patches, read at
+# trace time so tests can flip it) with this record.
 
 
 def conv2d_apply(
@@ -181,7 +181,7 @@ def conv2d_apply(
     else:
         w = p["w"]
     if (
-        _SMALLCIN_IMPL == "patches"
+        _os.environ.get("TRIPLEGAN_SMALLCIN", "conv") == "patches"
         and w.shape[0] == w.shape[1] == 3
         and stride == 1
         and 9 * w.shape[2] <= 128
@@ -417,6 +417,11 @@ def dropout(key: Optional[jax.Array], x: jax.Array, rate: float, *, train: bool)
         # and the scale uses the ACTUAL quantized keep so the estimator
         # stays unbiased.
         thresh = max(int(round(keep * 256.0)), 1)
+        if thresh >= 256:
+            # keep rounds to 256/256 = 1.0 on the u8 grid — dropout is a
+            # no-op. Must early-return: `bits < 256` would wrap the Python
+            # int to uint8 0 and silently zero the whole activation.
+            return x
         bits = jax.random.bits(key, x.shape, dtype=jnp.uint8)
         mask = (bits < thresh).astype(x.dtype) * (256.0 / thresh)
         return x * mask

@@ -19,9 +19,9 @@ The gradient convs reuse the same kernel:
   * wgrad: dW[dy,dx] = patchᵀ(x_pad, dy,dx) @ g — nine (Cin, M)×(M, Cout)
     reduction matmuls, grid-accumulated over batch tiles.
 
-``conv3x3`` wires fwd/dgrad/wgrad into a ``jax.custom_vjp`` so a single
-layer can be flipped between XLA and Pallas for A/B measurement
-(``TRIPLEGAN_CONV=pallas``, docs/DESIGN.md perf journal).
+``conv3x3`` wires fwd/dgrad/wgrad into a ``jax.custom_vjp``; A/B
+measurement against XLA's convs is done by ``tools/convbench.py``
+(CB_IMPLS), with the verdict recorded in docs/DESIGN.md's perf journal.
 """
 
 from __future__ import annotations

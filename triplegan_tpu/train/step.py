@@ -108,6 +108,13 @@ def make_train_step(
         return lax.pmean(tree, axis_name)
 
     share_fwd = bool(cfg.get("share_pseudo_forward", False))
+    if share_fwd and bool(cfg.get("fused_clf_forward", False)):
+        raise ValueError(
+            "share_pseudo_forward and fused_clf_forward are mutually "
+            "exclusive: the shared-forward C update replaces the fused "
+            "3B-row pass entirely, so enabling both would silently measure "
+            "shared-only. Pick one."
+        )
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
         step_no = state.step
