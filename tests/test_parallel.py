@@ -14,11 +14,14 @@ from triplegan_tpu.train.state import create_state
 from triplegan_tpu.train.step import make_eval_step, make_train_step
 
 
-def _allclose_trees(t1, t2, rtol=2e-3, atol=2e-3):
+def _allclose_trees(t1, t2, rtol=5e-4, atol=5e-4):
     """Tolerances sized for one Adam step under f32 reduction-order noise:
-    pmean over 8 shards reorders float sums, and Adam's rsqrt(v)+eps
-    amplifies near-zero-gradient differences (observed ≈6e-4 abs). A wrong
-    collective diverges by orders of magnitude more."""
+    pmean over 8 shards reorders float sums, and bias-corrected Adam's first
+    step is ≈lr·sign(g), so a near-zero gradient component whose sign flips
+    under reduction noise moves the parameter by up to 2·lr (observed
+    ≈1.4e-4 abs max). The formerly-looser 2e-3 masked a real bug (the
+    un-pmean'd REINFORCE baseline, ≈6e-4-2e-3 deltas); gradient-level
+    equivalence is asserted tightly in test_c_adv_baseline_global_mean."""
     for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=rtol, atol=atol)
 
@@ -60,7 +63,89 @@ def test_sharded_step_equals_single_device(eight_devices):
     _allclose_trees(s_single.bn, s_shard.bn)
     for k in m_single:
         np.testing.assert_allclose(
-            float(m_single[k]), float(m_shard[k]), rtol=2e-3, atol=2e-3
+            float(m_single[k]), float(m_shard[k]), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_c_adv_baseline_global_mean(eight_devices):
+    """Regression (round-3 review): the REINFORCE baseline must center the
+    advantage by the GLOBAL batch mean under data parallelism — a local-shard
+    mean makes the sharded C-adv gradient diverge from the single-device one
+    (observed max component diff 0.017 before the fix). Gradients are
+    compared directly (no Adam step in between), so the tolerance is tight."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from triplegan_tpu.train import losses
+
+    n, k = 16, 10
+    rng = np.random.RandomState(0)
+    logit_d = np.asarray(rng.normal(size=(n,)), np.float32)
+    logits_c = np.asarray(rng.normal(size=(n, k)), np.float32)
+    y_c = np.asarray(rng.randint(0, k, size=(n,)), np.int32)
+
+    def loss_single(lc):
+        return losses.c_adversarial_loss(jax.numpy.asarray(logit_d), lc, y_c, 0.5)
+
+    g_single = jax.grad(loss_single)(jax.numpy.asarray(logits_c))
+
+    mesh = pmesh.make_mesh(8)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(pmesh.AXIS), P(pmesh.AXIS), P(pmesh.AXIS)),
+        out_specs=P(pmesh.AXIS),
+    )
+    def grad_shard(ld, lc, yc):
+        def local_loss(lc_):
+            # per-shard mean of per-example terms; pmean makes it the global mean
+            return jax.lax.pmean(
+                losses.c_adversarial_loss(ld, lc_, yc, 0.5, axis_name=pmesh.AXIS),
+                pmesh.AXIS,
+            )
+
+        return jax.grad(local_loss)(lc)
+
+    g_shard = grad_shard(logit_d, logits_c, y_c)
+    np.testing.assert_allclose(
+        np.asarray(g_shard), np.asarray(g_single), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sharded_share_pseudo_forward_equals_single_device(eight_devices):
+    """The share_pseudo_forward variant composes a vjp-grafted classifier
+    gradient with the pmean'd REINFORCE baseline — the grafted cotangent
+    contribution must survive the gradient pmean exactly (pmean is linear,
+    but this pins the implementation, incl. the trimmed c-stream batch)."""
+    cfg = deterministic_config()
+    cfg.batch_size = 16
+    cfg.share_pseudo_forward = True
+    nets = make_networks(cfg)
+    opts = make_optimizers(cfg, 16)
+    data = tiny_data(cfg)
+    sampler = BatchSampler(data, cfg.batch_size, seed=0)
+    batch = sampler.next_triple(cfg.z_dim, cfg.num_classes, skip_c_unlabeled=True)
+
+    single = jax.jit(
+        make_train_step(cfg, nets, opts, 16, pseudo_label_mode="argmax")
+    )
+    s_single, m_single = single(create_state(cfg, nets, opts), batch)
+
+    mesh = pmesh.make_mesh(8)
+    sharded = pmesh.shard_train_step(
+        make_train_step(
+            cfg, nets, opts, 16, axis_name=pmesh.AXIS, pseudo_label_mode="argmax"
+        ),
+        mesh,
+    )
+    s_shard, m_shard = sharded(create_state(cfg, nets, opts), batch)
+
+    _allclose_trees(s_single.params, s_shard.params)
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_single[k]), float(m_shard[k]), rtol=1e-5, atol=1e-5
         )
 
 

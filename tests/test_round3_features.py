@@ -397,6 +397,61 @@ def test_share_pseudo_forward_smoke_trains():
         assert moved, f"{pl} params did not move"
 
 
+def test_share_pseudo_forward_skips_dead_c_unlabeled_draw():
+    """Round-3 review finding: with share_pseudo_forward the C stream's x_u
+    is aliased to D's, so both samplers must skip the dead gather — and the
+    key-split structure must keep every *used* field's sample sequence
+    identical to the untrimmed sampler."""
+    from tests.helpers import deterministic_config
+    from triplegan_tpu.data.pipeline import BatchSampler
+    from triplegan_tpu.train.step import _make_batch_sampler
+
+    cfg = deterministic_config()
+
+    # Host sampler: trimmed c stream, d stream untouched.
+    s = BatchSampler(tiny_data(cfg), cfg.batch_size, seed=0)
+    t = s.next_triple(cfg.z_dim, cfg.num_classes, skip_c_unlabeled=True)
+    assert "x_u" not in t["c"] and "x_u" in t["d"]
+    assert set(t["c"]) == {"x_l", "y_l", "z", "y_g"}
+
+    # Device sampler: cfg flag trims c, and shared fields match the
+    # untrimmed draw exactly (same key folds).
+    data = {
+        "x_l": jnp.arange(6 * 4 * 4 * 3, dtype=jnp.uint8).reshape(6, 4, 4, 3),
+        "y_l": jnp.arange(6, dtype=jnp.int32) % cfg.num_classes,
+        "x_u": jnp.arange(8 * 4 * 4 * 3, dtype=jnp.uint8).reshape(8, 4, 4, 3),
+    }
+    rng = jax.random.PRNGKey(0)
+    full = _make_batch_sampler(cfg, None, 1)(rng, 3, data)
+    cfg.share_pseudo_forward = True
+    trimmed = _make_batch_sampler(cfg, None, 1)(rng, 3, data)
+    assert "x_u" not in trimmed["c"] and "x_u" in trimmed["d"]
+    for stream in ("d", "c", "g"):
+        for k, v in trimmed[stream].items():
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(full[stream][k]))
+
+
+def test_share_pseudo_forward_device_data_smoke():
+    """The trimmed device-data batch must flow through the scan-chunked
+    production path end-to-end with share_pseudo_forward on."""
+    from tests.helpers import tiny_config
+    from triplegan_tpu.data.pipeline import upload_device_data
+    from triplegan_tpu.train.schedule import make_optimizers
+    from triplegan_tpu.train.state import create_state
+    from triplegan_tpu.train.step import make_scan_device_train_step
+
+    cfg = tiny_config()
+    cfg.share_pseudo_forward = True
+    nets = make_networks(cfg)
+    opts = make_optimizers(cfg, 8)
+    data = upload_device_data(tiny_data(cfg))
+    scan = jax.jit(make_scan_device_train_step(cfg, nets, opts, 8, 2))
+    state, metrics = scan(create_state(cfg, nets, opts), data)
+    assert int(state.step) == 2
+    for k in ("loss_d", "loss_g", "loss_c"):
+        assert np.isfinite(float(metrics[k]))
+
+
 # ---------------------------------------------------------------------------
 # ADVICE r2 items
 # ---------------------------------------------------------------------------

@@ -54,28 +54,32 @@ class BatchSampler:
         idx = np.concatenate([head, order[:need]])
         return idx, order, need
 
-    def next(self) -> Dict[str, np.ndarray]:
+    def next(self, with_unlabeled: bool = True) -> Dict[str, np.ndarray]:
         from triplegan_tpu.data.native import gather_rows
 
         idx_l, self._label_order, self._label_pos = self._take(
             self._label_order, self._label_pos, len(self.data.x_label)
         )
-        idx_u, self._unlabel_order, self._unlabel_pos = self._take(
-            self._unlabel_order, self._unlabel_pos, len(self.data.x_unlabel)
-        )
         # Image gathers go through the native threaded assembler
         # (csrc/batch_gather.cpp) when available; numpy otherwise.
-        return {
+        out = {
             "x_l": gather_rows(self.data.x_label, idx_l),
             "y_l": self.data.y_label[idx_l],
-            "x_u": gather_rows(self.data.x_unlabel, idx_u),
         }
+        if with_unlabeled:
+            idx_u, self._unlabel_order, self._unlabel_pos = self._take(
+                self._unlabel_order, self._unlabel_pos, len(self.data.x_unlabel)
+            )
+            out["x_u"] = gather_rows(self.data.x_unlabel, idx_u)
+        return out
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         while True:
             yield self.next()
 
-    def next_triple(self, z_dim: int, num_classes: int) -> Dict[str, Dict[str, np.ndarray]]:
+    def next_triple(
+        self, z_dim: int, num_classes: int, skip_c_unlabeled: bool = False
+    ) -> Dict[str, Dict[str, np.ndarray]]:
         """One iteration's worth of inputs for the sequential D → G → C update.
 
         The reference's three alternating ``sess.run``s each pull a FRESH
@@ -84,6 +88,12 @@ class BatchSampler:
         one iteration. We reproduce that with per-player sub-batches; z and
         the generator's condition labels y_g are drawn on host so they shard
         across a device mesh exactly like the data.
+
+        ``skip_c_unlabeled``: under ``share_pseudo_forward`` the C update
+        aliases D's unlabeled batch, so the C stream's x_u would be gathered
+        and shipped over H2D only to be discarded — skip the draw (the
+        unlabeled epoch stream then advances once per iteration, matching its
+        actual consumption).
         """
         b = self.batch_size
 
@@ -94,12 +104,12 @@ class BatchSampler:
             }
 
         d = self.next(); d.update(noise())
-        c = self.next(); c.update(noise())
+        c = self.next(with_unlabeled=not skip_c_unlabeled); c.update(noise())
         return {"d": d, "g": noise(), "c": c}
 
-    def triple_iter(self, z_dim: int, num_classes: int):
+    def triple_iter(self, z_dim: int, num_classes: int, skip_c_unlabeled: bool = False):
         while True:
-            yield self.next_triple(z_dim, num_classes)
+            yield self.next_triple(z_dim, num_classes, skip_c_unlabeled)
 
     def test_batches(self, batch_size: Optional[int] = None):
         """Fixed-shape test batches; the last one is padded and carries a mask."""

@@ -186,7 +186,12 @@ def train(
         batches = None
     else:
         batches = device_prefetch(
-            sampler.triple_iter(cfg.z_dim, cfg.num_classes), sharding=sharding
+            sampler.triple_iter(
+                cfg.z_dim,
+                cfg.num_classes,
+                skip_c_unlabeled=bool(cfg.get("share_pseudo_forward", False)),
+            ),
+            sharding=sharding,
         )
     sample_fn = make_sample_fn(cfg, nets)
 

@@ -105,6 +105,7 @@ def c_adversarial_loss(
     y_c: jax.Array,
     alpha: float,
     use_baseline: bool = True,
+    axis_name: str | None = None,
 ) -> jax.Array:
     """REINFORCE surrogate for α·E_{y~p_c}[log(1 - D(x_u, y))].
 
@@ -113,10 +114,16 @@ def c_adversarial_loss(
     baseline — the estimator's expectation is unchanged because
     E[∇log p_c] = 0).
     Minimizing it raises p_c on labels the discriminator scores as realistic.
+    Under data parallelism the baseline must be the GLOBAL batch mean
+    (``axis_name`` → pmean), or each shard centers by its own mean and the
+    sharded gradient diverges from the single-device one.
     """
     w = jax.lax.stop_gradient(log_one_minus_sigmoid(logit_d_on_cla))
     if use_baseline:
-        w = w - jnp.mean(w)
+        m = jnp.mean(w)
+        if axis_name is not None:
+            m = jax.lax.pmean(m, axis_name)
+        w = w - m
     logp = jax.nn.log_softmax(logits_c, axis=-1)
     logp_yc = jnp.take_along_axis(logp, y_c[:, None], axis=-1)[:, 0]
     return alpha * jnp.mean(w * logp_yc)
@@ -133,11 +140,14 @@ def c_loss(
     alpha: float,
     alpha_p: jax.Array,
     use_baseline: bool = True,
+    axis_name: str | None = None,
 ):
     """Full L_C with term breakdown. ``alpha_p`` may be a traced scalar (the
     warm-up ramp is a function of the step counter)."""
     r_l = cross_entropy(logits_c_labeled, y_l)
-    l_adv = c_adversarial_loss(logit_d_on_cla, logits_c_unlabeled, y_c, alpha, use_baseline)
+    l_adv = c_adversarial_loss(
+        logit_d_on_cla, logits_c_unlabeled, y_c, alpha, use_baseline, axis_name
+    )
     r_p = cross_entropy(logits_c_gen, y_g)
     total = r_l + l_adv + alpha_p * r_p
     return total, {"c_sup": r_l, "c_adv": l_adv, "c_pseudo": alpha_p * r_p}

@@ -61,10 +61,8 @@ def make_train_step(
     opt_g, opt_d, opt_c = optimizers["gen"], optimizers["disc"], optimizers["clf"]
     alpha = float(cfg.alpha)
     cdt = _compute_dtype(cfg)
-    warmup_steps = int(cfg.alpha_p_warmup_epochs) * max(
-        total_steps // max(int(cfg.epochs), 1), 1
-    )
     steps_per_epoch = max(total_steps // max(int(cfg.epochs), 1), 1)
+    warmup_steps = int(cfg.alpha_p_warmup_epochs) * steps_per_epoch
     ap_sched = alpha_p_schedule(
         float(cfg.alpha_p),
         warmup_steps,
@@ -235,7 +233,7 @@ def make_train_step(
             )
             total, terms = losses.c_loss(
                 log_l, y_l_c, logit_d_cla, log_u_in, y_c, log_g, y_gc,
-                alpha, alpha_p_now,
+                alpha, alpha_p_now, axis_name=axis_name,
             )
             return total, (s3, terms)
 
@@ -272,7 +270,7 @@ def make_train_step(
             )
             total, terms = losses.c_loss(
                 log_l, y_l_c, logit_d_cla, log_u, y_c2, log_g, y_gc,
-                alpha, alpha_p_now,
+                alpha, alpha_p_now, axis_name=axis_name,
             )
             return total, (s3, terms)
 
@@ -356,6 +354,14 @@ def _make_batch_sampler(cfg, axis_name: Optional[str], n_shards: int):
     b = int(cfg.batch_size) // max(n_shards, 1)
     z_dim = int(cfg.z_dim)
     n_classes = int(cfg.num_classes)
+    # Under share_pseudo_forward the C update reuses D's unlabeled batch
+    # (step() aliases x_u_c = x_u), so drawing x_u for the "c" stream would be
+    # dead work: inside one jitted step XLA DCEs it, but the scan-chunked
+    # path materializes the hoisted gather as a scan input, and the host
+    # pipeline would ship the bytes over H2D. Skip the gather; the key-split
+    # structure stays identical so every *used* field's sample sequence is
+    # unchanged by the flag.
+    share_fwd = bool(cfg.get("share_pseudo_forward", False))
 
     def sample(base_rng, step_no, data):
         rng = jax.random.fold_in(base_rng, step_no)
@@ -371,18 +377,24 @@ def _make_batch_sampler(cfg, axis_name: Optional[str], n_shards: int):
                 "y_g": jax.random.randint(ky, (b,), 0, n_classes, jnp.int32),
             }
 
-        def stream(k):
+        def stream(k, with_unlabeled=True):
             k1, k2, kn = jax.random.split(k, 3)
             il = jax.random.randint(k1, (b,), 0, data["x_l"].shape[0])
-            iu = jax.random.randint(k2, (b,), 0, data["x_u"].shape[0])
-            return {
+            out = {
                 "x_l": jnp.take(data["x_l"], il, axis=0),
                 "y_l": jnp.take(data["y_l"], il, axis=0),
-                "x_u": jnp.take(data["x_u"], iu, axis=0),
                 **noise(kn),
             }
+            if with_unlabeled:
+                iu = jax.random.randint(k2, (b,), 0, data["x_u"].shape[0])
+                out["x_u"] = jnp.take(data["x_u"], iu, axis=0)
+            return out
 
-        return {"d": stream(kd), "c": stream(kc), "g": noise(kg)}
+        return {
+            "d": stream(kd),
+            "c": stream(kc, with_unlabeled=not share_fwd),
+            "g": noise(kg),
+        }
 
     return sample
 
