@@ -4,6 +4,7 @@ scripts, SURVEY.md §2.1 #1/#10/#11):
     python -m triplegan_tpu.cli train   --config cifar10_4k [--workdir ...]
     python -m triplegan_tpu.cli eval    --config cifar10_4k --workdir ...
     python -m triplegan_tpu.cli sample  --config cifar10_4k --workdir ... --out grid.png
+    python -m triplegan_tpu.cli fid     --config cifar10_4k --workdir ...
     python -m triplegan_tpu.cli prepare --dataset cifar10 --raw-dir ... --data-dir ...
 
 Overrides: ``--set key=value`` (repeatable) mutates any config field, e.g.
@@ -160,6 +161,52 @@ def cmd_sample(args):
     print(f"wrote {args.out}")
 
 
+def _generate_samples(cfg, gen, restored, n, seed):
+    """Chunked class-conditional generation → raw [-1,1] sample array.
+
+    Fixed-size chunks (one compile, bounded activations): 5000 STL-10-sized
+    samples in one forward would peak >10 GB of deconv activations."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    key = jax.random.PRNGKey(seed)
+    kz, ky = jax.random.split(key)
+    z = jax.random.normal(kz, (n, cfg.z_dim))
+    y = jax.random.randint(ky, (n,), 0, cfg.num_classes)
+
+    @jax.jit
+    def generate(state, z, y):
+        x, _ = gen.apply(state.params["gen"], state.bn["gen"], z, y, train=False)
+        return x
+
+    chunk = min(n, max(int(cfg.batch_size), 1))
+    pieces = []
+    for i in range(0, n, chunk):
+        zi = z[i : i + chunk]
+        pad = chunk - zi.shape[0]
+        if pad:  # keep the final piece the same compiled shape
+            zi = jnp.pad(z[i:], ((0, pad), (0, 0)))
+        out = np.asarray(generate(restored, zi, jnp.pad(y[i : i + chunk], (0, pad))))
+        pieces.append(out[: chunk - pad] if pad else out)
+    return np.concatenate(pieces, axis=0)
+
+
+def _load_zca(cfg, workdir):
+    """The run dir's cached ZCA stats (refit from data if the cache is
+    missing); None for non-zca configs."""
+    from triplegan_tpu.data.zca import ZCAStats
+
+    if not cfg.zca:
+        return None
+    cache = os.path.join(workdir, "zca_stats.npz")
+    if os.path.exists(cache):
+        return ZCAStats.load(cache)
+    from triplegan_tpu.train.loop import _resolve_data, _resolve_zca
+
+    return _resolve_zca(cfg, _resolve_data(cfg), workdir)
+
+
 def cmd_inception(args):
     """Inception-style score of class-conditional generation (SURVEY.md §6:
     paper reports ≈5.08 for conditional CIFAR-10). Default scorer is the
@@ -173,7 +220,7 @@ def cmd_inception(args):
 
     from triplegan_tpu.ckpt import CheckpointManager
     from triplegan_tpu.configs.base import apply_runtime, make_networks
-    from triplegan_tpu.data.zca import ZCAStats, apply_zca
+    from triplegan_tpu.data.zca import apply_zca
     from triplegan_tpu.eval.inception import inception_score, load_scorer
     from triplegan_tpu.train.schedule import make_optimizers
     from triplegan_tpu.train.state import create_state
@@ -186,30 +233,7 @@ def cmd_inception(args):
     ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), write=False)
     restored = _restore_at(ckpt, state, args, workdir)
 
-    n = args.n_samples
-    key = jax.random.PRNGKey(args.seed)
-    kz, ky = jax.random.split(key)
-    z = jax.random.normal(kz, (n, cfg.z_dim))
-    y = jax.random.randint(ky, (n,), 0, cfg.num_classes)
-
-    @jax.jit
-    def generate(state, z, y):
-        x, _ = gen.apply(state.params["gen"], state.bn["gen"], z, y, train=False)
-        return x
-
-    # Generate in fixed-size chunks (one compile, bounded activations): 5000
-    # STL-10-sized samples in one forward would peak >10 GB of deconv
-    # activations; scoring below is chunked for the same reason.
-    chunk = min(n, max(int(cfg.batch_size), 1))
-    pieces = []
-    for i in range(0, n, chunk):
-        zi = z[i : i + chunk]
-        pad = chunk - zi.shape[0]
-        if pad:  # keep the final piece the same compiled shape
-            zi = jnp.pad(z[i:], ((0, pad), (0, 0)))
-        out = np.asarray(generate(restored, zi, jnp.pad(y[i : i + chunk], (0, pad))))
-        pieces.append(out[: chunk - pad] if pad else out)
-    images = np.concatenate(pieces, axis=0)
+    images = _generate_samples(cfg, gen, restored, args.n_samples, args.seed)
 
     if args.scorer_path:
         score_logits = load_scorer(
@@ -221,15 +245,7 @@ def cmd_inception(args):
     else:
         # The classifier only ever saw whitened inputs during training
         # (step.py whiten_gen) — score in the same input distribution.
-        zca = None
-        if cfg.zca:
-            cache = os.path.join(workdir, "zca_stats.npz")
-            if os.path.exists(cache):
-                zca = ZCAStats.load(cache)
-            else:
-                from triplegan_tpu.train.loop import _resolve_data, _resolve_zca
-
-                zca = _resolve_zca(cfg, _resolve_data(cfg), workdir)
+        zca = _load_zca(cfg, workdir)
         zm = jnp.asarray(zca.mean) if zca else None
         zw = jnp.asarray(zca.whiten) if zca else None
 
@@ -246,6 +262,79 @@ def cmd_inception(args):
 
     mean, std = inception_score(score_logits, images, n_splits=args.n_splits)
     print(f"inception score ({label}): {mean:.3f} ± {std:.3f}")
+
+
+def cmd_fid(args):
+    """Fréchet distance between generated samples and real data (beyond-
+    parity extra — see eval/fid.py). Default feature space is the
+    checkpoint's own classifier GAP features, fed the training input
+    distribution (whitened for zca configs); ``--scorer-path`` plugs in an
+    external extractor (e.g. an Inception-v3 SavedModel with
+    ``--scorer-output-name pool_3``), fed raw [-1,1] images."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from triplegan_tpu.ckpt import CheckpointManager
+    from triplegan_tpu.configs.base import apply_runtime, make_networks
+    from triplegan_tpu.data.zca import apply_zca
+    from triplegan_tpu.eval.fid import fid_score
+    from triplegan_tpu.eval.inception import load_scorer
+    from triplegan_tpu.train.loop import _resolve_data
+    from triplegan_tpu.train.schedule import make_optimizers
+    from triplegan_tpu.train.state import create_state
+
+    cfg = apply_runtime(_load_cfg(args))
+    workdir = os.path.join(cfg.workdir, cfg.name)
+    nets = make_networks(cfg)
+    gen, _, clf = nets
+    state = create_state(cfg, nets, make_optimizers(cfg, 1))
+    ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), write=False)
+    restored = _restore_at(ckpt, state, args, workdir)
+
+    generated = _generate_samples(cfg, gen, restored, args.n_samples, args.seed)
+
+    data = _resolve_data(cfg)
+    real_u8 = data.x_test if args.real_split == "test" else data.x_unlabel
+    if args.n_real and args.n_real < len(real_u8):
+        sel = np.random.RandomState(args.seed).choice(
+            len(real_u8), args.n_real, replace=False
+        )
+        real_u8 = real_u8[sel]
+    # Real images → the generator's output space ([-1,1] when rescale is on),
+    # so both sets enter the extractor identically.
+    real = real_u8.astype(np.float32)
+    if bool(cfg.get("rescale", True)):
+        real = real / 127.5 - 1.0
+
+    if args.scorer_path:
+        features_fn = load_scorer(
+            args.scorer_path,
+            outputs="logits",  # FID uses raw activations — no prob mapping
+            output_name=args.scorer_output_name,
+        )
+        label = "external features"
+    else:
+        zca = _load_zca(cfg, workdir)
+        zm = jnp.asarray(zca.mean) if zca else None
+        zw = jnp.asarray(zca.whiten) if zca else None
+
+        @jax.jit
+        def features_fn(x):
+            if zm is not None:
+                x = apply_zca(x, zm, zw)
+            (_, feats), _ = clf.apply(
+                restored.params["clf"], restored.bn["clf"], x,
+                train=False, return_features=True,
+            )
+            return feats
+
+        label = "classifier GAP features"
+
+    fid = fid_score(
+        features_fn, generated, real, batch_size=max(int(cfg.batch_size), 1)
+    )
+    print(f"FID ({label}, {len(generated)} gen vs {len(real)} real): {fid:.3f}")
 
 
 def cmd_prepare(args):
@@ -312,6 +401,28 @@ def main(argv=None):
              "multiple outputs",
     )
     sp.set_defaults(fn=cmd_inception)
+
+    sp = sub.add_parser("fid", help="Fréchet distance of generated samples vs real data")
+    common(sp)
+    step_arg(sp)
+    sp.add_argument("--n-samples", type=int, default=5000)
+    sp.add_argument("--n-real", type=int, default=10000,
+                    help="cap on real images used for the data-side stats (0 = all)")
+    sp.add_argument("--real-split", default="test", choices=("test", "train"),
+                    help="real-side images: test set, or the unlabeled train pool")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument(
+        "--scorer-path", default=None,
+        help="external feature extractor: SavedModel dir or .npz "
+             "(see eval/inception.load_scorer); default is the checkpoint's "
+             "classifier GAP features",
+    )
+    sp.add_argument(
+        "--scorer-output-name", default=None,
+        help="output tensor name when the SavedModel serving signature has "
+             "multiple outputs (e.g. pool_3)",
+    )
+    sp.set_defaults(fn=cmd_fid)
 
     sp = sub.add_parser("prepare", help="convert raw dataset files to npz shards")
     sp.add_argument("--dataset", required=True)

@@ -256,7 +256,11 @@ class Classifier:
         train: bool,
         rng: Optional[jax.Array] = None,
         axis_name: Optional[str] = None,
+        return_features: bool = False,
     ) -> Tuple[jax.Array, State]:
+        """``return_features=True`` additionally yields the GAP penultimate
+        activations (the classifier's pool features, used as the built-in
+        FID feature space) — the output becomes ``((logits, feats), state)``."""
         n_stoch = 1 + len(self.conv_blocks)
         keys = _split(rng, n_stoch)
         ki = 0
@@ -286,4 +290,6 @@ class Classifier:
             )
         h = L.global_avg_pool(h)
         logits = L.dense_apply(params["head"], h)
+        if return_features:
+            return (logits, h), new_state
         return logits, new_state
