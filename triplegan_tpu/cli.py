@@ -5,6 +5,7 @@ scripts, SURVEY.md §2.1 #1/#10/#11):
     python -m triplegan_tpu.cli eval    --config cifar10_4k --workdir ...
     python -m triplegan_tpu.cli sample  --config cifar10_4k --workdir ... --out grid.png
     python -m triplegan_tpu.cli fid     --config cifar10_4k --workdir ...
+    python -m triplegan_tpu.cli export  --config cifar10_4k --workdir ...
     python -m triplegan_tpu.cli prepare --dataset cifar10 --raw-dir ... --data-dir ...
 
 Overrides: ``--set key=value`` (repeatable) mutates any config field, e.g.
@@ -337,6 +338,39 @@ def cmd_fid(args):
     print(f"FID ({label}, {len(generated)} gen vs {len(real)} real): {fid:.3f}")
 
 
+def cmd_export(args):
+    """Export servable inference artifacts from a trained checkpoint
+    (beyond-parity extra — see export.py): the classifier (uint8 images →
+    logits, training input transform baked in) and/or the generator
+    ((z, y) → images) as portable StableHLO, a TF SavedModel, or raw .npz
+    parameters."""
+    from triplegan_tpu.ckpt import CheckpointManager
+    from triplegan_tpu.configs.base import apply_runtime, make_networks
+    from triplegan_tpu.export import export_artifacts
+    from triplegan_tpu.train.schedule import make_optimizers
+    from triplegan_tpu.train.state import create_state
+
+    cfg = apply_runtime(_load_cfg(args))
+    workdir = os.path.join(cfg.workdir, cfg.name)
+    nets = make_networks(cfg)
+    state = create_state(cfg, nets, make_optimizers(cfg, 1))
+    ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), write=False)
+    restored = _restore_at(ckpt, state, args, workdir)
+
+    written = export_artifacts(
+        cfg,
+        nets,
+        restored,
+        args.out or os.path.join(workdir, "export"),
+        what=args.what,
+        fmt=args.format,
+        batch_size=args.batch_size,
+        zca_stats=_load_zca(cfg, workdir),
+    )
+    for path in written:
+        print(f"exported: {path}")
+
+
 def cmd_prepare(args):
     from triplegan_tpu.data.prepare import prepare
 
@@ -423,6 +457,21 @@ def main(argv=None):
              "multiple outputs (e.g. pool_3)",
     )
     sp.set_defaults(fn=cmd_fid)
+
+    sp = sub.add_parser("export", help="export servable artifacts from a checkpoint")
+    common(sp)
+    step_arg(sp)
+    sp.add_argument("--out", default=None,
+                    help="output directory (default: <workdir>/<name>/export)")
+    sp.add_argument("--what", default="both",
+                    choices=("classifier", "generator", "both"))
+    sp.add_argument("--format", default="stablehlo",
+                    choices=("stablehlo", "savedmodel", "npz"),
+                    help="stablehlo: portable jax.export bytes (PjRT/JAX "
+                         "serving); savedmodel: TF Serving; npz: raw params")
+    sp.add_argument("--batch-size", type=int, default=None,
+                    help="static serving batch size (default: cfg.batch_size)")
+    sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("prepare", help="convert raw dataset files to npz shards")
     sp.add_argument("--dataset", required=True)

@@ -1,0 +1,202 @@
+"""Serving export: trained checkpoints → deployable inference artifacts.
+
+Beyond-parity extra: the reference stops at eval scripts ([ref-expected]
+``Testing/``, SURVEY.md §2.1 #11) — it has no deployment story. This module
+packages the two servable functions of a trained Triple-GAN run:
+
+  * **classifier**: ``uint8 NHWC images -> class logits`` with the
+    training-time input transform baked in (rescale to [-1,1], ZCA
+    whitening for zca configs) — the artifact is self-contained, callers
+    send raw pixels.
+  * **generator**: ``(z float32 [B,z_dim], y int32 [B]) -> images`` in the
+    generator's raw [-1,1] space.
+
+Formats (pick per deployment target):
+
+  * ``stablehlo`` — :func:`jax.export.export` serialization: portable,
+    version-stable bytes, loadable from any PjRT runtime and re-importable
+    in-process via :func:`jax.export.deserialize` (the TPU-native serving
+    path: compile once, run under ``jit`` anywhere). Exported for both
+    ``cpu`` and ``tpu`` lowering platforms when possible.
+  * ``savedmodel`` — TF SavedModel via ``jax2tf`` native serialization
+    (the same StableHLO wrapped for TF Serving / ``tf.saved_model.load``).
+  * ``npz`` — raw parameter/BN arrays keyed ``player/layer/array``
+    (framework-free interchange).
+
+Batch size is static (production-typical); export one artifact per serving
+shape.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_serving_fns(
+    cfg, nets, state, zca_stats=None
+) -> Tuple[Callable, Callable]:
+    """Build ``(classify, generate)`` pure functions over a restored state.
+
+    ``classify(images_u8) -> logits`` — eval-mode classifier, training
+    input transform baked in. ``generate(z, y) -> images`` — eval-mode
+    generator, raw [-1,1] output space.
+    """
+    gen, _, clf = nets
+    if zca_stats is not None:
+        zm = jnp.asarray(zca_stats.mean)
+        zw = jnp.asarray(zca_stats.whiten)
+    else:
+        zm = zw = None
+    rescale = bool(cfg.get("rescale", True))
+    params_c, bn_c = state.params["clf"], state.bn["clf"]
+    params_g, bn_g = state.params["gen"], state.bn["gen"]
+
+    def classify(images_u8):
+        x = images_u8.astype(jnp.float32)
+        if rescale:
+            x = x / 127.5 - 1.0
+        if zm is not None:
+            from triplegan_tpu.data.zca import apply_zca
+
+            x = apply_zca(x, zm, zw)
+        logits, _ = clf.apply(params_c, bn_c, x, train=False)
+        return logits
+
+    def generate(z, y):
+        x, _ = gen.apply(params_g, bn_g, z, y, train=False)
+        return x
+
+    return classify, generate
+
+
+def _export_platforms():
+    """StableHLO lowering platforms: cpu always; tpu too so one artifact
+    serves both (falls back to single-platform if the lowering refuses)."""
+    return ("cpu", "tpu")
+
+
+def export_stablehlo(fn: Callable, args: tuple, path: str) -> str:
+    """Serialize ``fn(*args_spec)`` as portable StableHLO bytes.
+
+    ``args`` are ShapeDtypeStructs (or arrays — shapes/dtypes are taken).
+    Reload with :func:`load_stablehlo`."""
+    specs = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args)
+    try:
+        exported = jax.export.export(
+            jax.jit(fn), platforms=_export_platforms()
+        )(*specs)
+    except Exception:
+        # e.g. a platform-specific custom call blocks multi-platform export
+        exported = jax.export.export(jax.jit(fn))(*specs)
+    data = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
+
+
+def load_stablehlo(path: str) -> Callable:
+    """Re-import a :func:`export_stablehlo` artifact as a callable (runs
+    under jit on whatever backend is active — in-process serving)."""
+    with open(path, "rb") as f:
+        exported = jax.export.deserialize(f.read())
+    return exported.call
+
+
+def export_savedmodel(
+    fns: dict, specs: dict, path: str
+) -> str:
+    """Wrap jax functions as one TF SavedModel with a serving signature per
+    entry. ``fns``: name -> callable; ``specs``: name -> tuple of
+    ShapeDtypeStructs describing its positional args."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    module = tf.Module()
+    signatures = {}
+    for name, fn in fns.items():
+        tf_specs = [
+            tf.TensorSpec(s.shape, tf.dtypes.as_dtype(np.dtype(s.dtype)), name=f"{name}_arg{i}")
+            for i, s in enumerate(specs[name])
+        ]
+        tf_fn = tf.function(
+            jax2tf.convert(fn),  # native serialization (StableHLO) is the default
+            input_signature=tf_specs,
+            autograph=False,
+        )
+        setattr(module, name, tf_fn)
+        signatures[name] = tf_fn.get_concrete_function(*tf_specs)
+    tf.saved_model.save(module, path, signatures=signatures)
+    return path
+
+
+def export_npz(state, path: str) -> str:
+    """Flatten params+BN state to ``player/layer/array`` keys (arrays only
+    — the framework-free interchange format)."""
+    flat = {}
+    for kind, tree in (("params", state.params), ("bn", state.bn)):
+        leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for keypath, leaf in leaves:
+            name = "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath
+            )
+            flat[f"{kind}/{name}"] = np.asarray(leaf)
+    np.savez(path, **flat)
+    return path
+
+
+def export_artifacts(
+    cfg,
+    nets,
+    state,
+    out_dir: str,
+    what: str = "both",
+    fmt: str = "stablehlo",
+    batch_size: Optional[int] = None,
+    zca_stats=None,
+) -> list:
+    """Export the requested servables; returns the written paths.
+
+    ``what``: classifier|generator|both. ``fmt``: stablehlo|savedmodel|npz.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    b = int(batch_size or cfg.batch_size)
+    classify, generate = make_serving_fns(cfg, nets, state, zca_stats)
+    img = jax.ShapeDtypeStruct(
+        (b, int(cfg.image_size), int(cfg.image_size), int(cfg.channels)),
+        jnp.uint8,
+    )
+    z = jax.ShapeDtypeStruct((b, int(cfg.z_dim)), jnp.float32)
+    y = jax.ShapeDtypeStruct((b,), jnp.int32)
+
+    targets = {}
+    if what in ("classifier", "both"):
+        targets["classify"] = (classify, (img,))
+    if what in ("generator", "both"):
+        targets["generate"] = (generate, (z, y))
+    if not targets:
+        raise ValueError(f"what must be classifier|generator|both, got {what!r}")
+
+    written = []
+    if fmt == "stablehlo":
+        for name, (fn, specs) in targets.items():
+            written.append(
+                export_stablehlo(fn, specs, os.path.join(out_dir, f"{name}.stablehlo"))
+            )
+    elif fmt == "savedmodel":
+        written.append(
+            export_savedmodel(
+                {n: fn for n, (fn, _) in targets.items()},
+                {n: specs for n, (_, specs) in targets.items()},
+                os.path.join(out_dir, "savedmodel"),
+            )
+        )
+    elif fmt == "npz":
+        written.append(export_npz(state, os.path.join(out_dir, "params.npz")))
+    else:
+        raise ValueError(f"fmt must be stablehlo|savedmodel|npz, got {fmt!r}")
+    return written
