@@ -127,7 +127,16 @@ def base_config() -> ml_collections.ConfigDict:
                                               # sampled inside the step (zero
                                               # per-step H2D); False = host
                                               # epoch-shuffled streaming
-    cfg.mesh_shape = (1,)                     # data-parallel mesh over ICI
+    cfg.mesh_shape = (1,)                     # data-parallel mesh over ICI;
+                                              # under multihost this counts
+                                              # pod-GLOBAL chips
+    cfg.multihost = False                     # pod-scale run (one process per
+                                              # host): jax.distributed init,
+                                              # coordinator-only host outputs,
+                                              # stage_global data staging
+    cfg.multihost_coordinator = ""            # "" = TPU pod auto-detection
+    cfg.multihost_num_processes = 0           # 0 = auto
+    cfg.multihost_process_id = -1             # -1 = auto
     cfg.scan_steps = 1                        # >1: lax.scan this many steps
                                               # into one XLA program (needs
                                               # data_on_device; log/eval
@@ -174,6 +183,8 @@ EXEC_KEYS = frozenset({
     "scan_metrics",
     "data_on_device", "log_every", "eval_every_epochs", "ckpt_every_epochs",
     "ckpt_keep", "profile_dir", "profile_steps",
+    "multihost", "multihost_coordinator", "multihost_num_processes",
+    "multihost_process_id",
 })
 
 

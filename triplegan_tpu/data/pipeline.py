@@ -131,13 +131,19 @@ class BatchSampler:
 def upload_device_data(data: SemiSupervisedData, sharding=None):
     """Stage the full training set into device HBM once (uint8 — CIFAR-10 is
     37 MB). Used with ``make_device_train_step`` for a zero-transfer hot
-    loop. With a mesh sharding (replicated spec), lands on every device."""
+    loop. With a mesh sharding (replicated spec), lands on every device;
+    under multi-host the staging goes through ``stage_global`` (every
+    process loads the same dataset and contributes its local shards)."""
     arrays = {
         "x_l": data.x_label,
         "y_l": data.y_label,
         "x_u": data.x_unlabel,
     }
     if sharding is not None:
+        if jax.process_count() > 1:
+            from triplegan_tpu.parallel.mesh import stage_global
+
+            return stage_global(arrays, sharding)
         return {k: jax.device_put(v, sharding) for k, v in arrays.items()}
     return {k: jax.device_put(v) for k, v in arrays.items()}
 
@@ -152,14 +158,21 @@ def device_prefetch(
     ``jax.device_put`` is asynchronous, so keeping `depth` batches in flight
     overlaps host→device DMA with the running step — the double-buffering of
     the north star [B]. With a ``Sharding``, each batch lands already sharded
-    across the mesh's data axis.
+    across the mesh's data axis. Under multi-host every process's iterator
+    yields the SAME global batch (samplers are seeded identically) and
+    ``stage_global`` takes each host's addressable slice.
     """
     import collections
 
     buf = collections.deque()
+    multihost = jax.process_count() > 1
+    if multihost and sharding is not None:
+        from triplegan_tpu.parallel.mesh import stage_global
 
     def put(batch):
         if sharding is not None:
+            if multihost:
+                return stage_global(batch, sharding)
             return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
         return jax.tree.map(jax.device_put, batch)
 

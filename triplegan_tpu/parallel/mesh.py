@@ -12,6 +12,15 @@ pure batch (data) parallelism:
 
 which makes the sharded step compute exactly the single-device global-batch
 update — the property the fake-device CPU tests assert (SURVEY.md §4.6).
+
+Multi-host (pod-scale) runs use the same decomposition: one process per
+host, :func:`init_distributed` before any backend touch, and the SAME mesh
+code — ``jax.devices()`` is the pod-global device list in multiprocess JAX,
+so ``make_mesh(total_chips)`` spans hosts with collectives riding ICI.
+Host-side data enters through :func:`stage_global` (every process holds the
+same host array; each contributes only its addressable shards), host-side
+outputs (logs, sample grids, config.json) are written by the coordinator
+only, and orbax checkpointing is already multi-process-coordinated.
 """
 
 from __future__ import annotations
@@ -23,6 +32,60 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AXIS = "data"
+
+
+def init_distributed(
+    coordinator: str = "", num_processes: int = 0, process_id: int = -1
+) -> None:
+    """Initialize ``jax.distributed`` for a multi-host pod run.
+
+    Must run before the first backend touch (``jax.devices()`` etc.). On
+    TPU pods all three arguments auto-detect from the pod metadata — pass
+    them only for CPU/GPU clusters or tests. Safe to call when already
+    initialized (no-op with a warning rather than a crash, so a library
+    caller that initialized earlier keeps working).
+    """
+    if jax.distributed.is_initialized():
+        import warnings
+
+        warnings.warn(
+            "init_distributed: jax.distributed is already initialized — "
+            "keeping the existing runtime",
+            stacklevel=2,
+        )
+        return
+    kwargs = {}
+    if coordinator:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes > 0:
+        kwargs["num_processes"] = num_processes
+    if process_id >= 0:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def is_coordinator() -> bool:
+    """True on the process that owns host-side outputs (logs, grids,
+    config.json). Always True in single-process runs."""
+    return jax.process_index() == 0
+
+
+def stage_global(tree, sharding: NamedSharding):
+    """Host arrays → global ``jax.Array``s under ``sharding``, valid in both
+    single- and multi-process runs.
+
+    Contract: EVERY process passes the same (full, global) host array —
+    true here because the host samplers are seeded identically on all
+    processes — and each contributes only the shards its local devices
+    own. Single-process this is equivalent to ``jax.device_put(a,
+    sharding)``; multi-process ``device_put`` would reject non-addressable
+    shardings, which is why this helper exists."""
+
+    def put(a):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(a.shape, sharding, lambda idx: a[idx])
+
+    return jax.tree.map(put, tree)
 
 
 def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:

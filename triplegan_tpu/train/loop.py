@@ -82,10 +82,22 @@ def train(
 ):
     """Full training run; returns a summary dict. ``max_steps`` caps total
     steps for smoke tests without changing schedule constants."""
+    # Multi-host init first: jax.distributed must precede the first backend
+    # touch. Host-side outputs (logs/grids/config.json/prints) then belong
+    # to the coordinator only; checkpoint saves stay on all processes
+    # (orbax coordinates multi-process commits itself).
+    if bool(cfg.get("multihost", False)):
+        pmesh.init_distributed(
+            str(cfg.get("multihost_coordinator", "")),
+            int(cfg.get("multihost_num_processes", 0)),
+            int(cfg.get("multihost_process_id", -1)),
+        )
+    coord = pmesh.is_coordinator()
+    verbose = verbose and coord
     apply_runtime(cfg)
     workdir = os.path.join(cfg.workdir, cfg.name)
     os.makedirs(workdir, exist_ok=True)
-    logger = MetricsLogger(workdir)
+    logger = MetricsLogger(workdir, enabled=coord)
     if verbose:
         print(display(cfg))
 
@@ -150,7 +162,10 @@ def train(
         eval_step = pmesh.shard_eval_step(eval_step_fn, mesh)
         sharding = pmesh.batch_sharding(mesh)
         replicated = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-        state = jax.device_put(state, replicated)
+        if jax.process_count() > 1:
+            state = pmesh.stage_global(state, replicated)
+        else:
+            state = jax.device_put(state, replicated)
     else:
         # Donate the state: params/opt buffers are reused in place, halving
         # peak HBM for the step and removing a copy per iteration.
@@ -174,7 +189,8 @@ def train(
     # overrides. Written only after a successful restore decision: a resume
     # attempt with a mismatched config dies above instead of first clobbering
     # the good record the original run wrote.
-    save_config(cfg, os.path.join(workdir, "config.json"))
+    if coord:
+        save_config(cfg, os.path.join(workdir, "config.json"))
 
     # Fold the resume step into the sampler seed so a resumed run draws a
     # fresh continuation of the data stream instead of replaying the early
@@ -262,7 +278,8 @@ def train(
             z, labels = class_grid_inputs(cfg, n_per_class=10, seed=cfg.seed)
             grid = to_uint8_grid(sample_fn(state, z, labels), cfg.num_classes, 10)
             logger.image(it, "samples", grid)
-            save_png(grid, os.path.join(workdir, f"samples_{it:08d}.png"))
+            if coord:
+                save_png(grid, os.path.join(workdir, f"samples_{it:08d}.png"))
         if epoch_done and cfg.ckpt_every_epochs and epoch % cfg.ckpt_every_epochs == 0:
             ckpt.save(it, state)
 
@@ -320,8 +337,14 @@ def _apply_ddinit(cfg, nets, state, data: SemiSupervisedData, zca):
 
 
 def _test_stream(sampler: BatchSampler, sharding):
-    """Test batches, padded to a fixed shape and staged (sharded on a mesh)."""
+    """Test batches, padded to a fixed shape and staged (sharded on a mesh;
+    stage_global under multi-host — every process iterates the same test
+    set, so the global-array contract holds)."""
+    multihost = jax.process_count() > 1
     for batch in sampler.test_batches():
         if sharding is not None:
-            batch = jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+            if multihost:
+                batch = pmesh.stage_global(batch, sharding)
+            else:
+                batch = jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
         yield batch

@@ -18,10 +18,17 @@ import numpy as np
 
 
 class MetricsLogger:
-    def __init__(self, workdir: str, use_tensorboard: bool = True):
+    def __init__(self, workdir: str, use_tensorboard: bool = True, enabled: bool = True):
+        """``enabled=False`` turns every method into a no-op and opens no
+        files — non-coordinator processes of a multi-host run pass this so
+        only one process writes to a (possibly shared) run dir."""
+        self._enabled = enabled
+        self._jsonl = None
+        self._tb = None
+        if not enabled:
+            return
         os.makedirs(workdir, exist_ok=True)
         self._jsonl = open(os.path.join(workdir, "metrics.jsonl"), "a", buffering=1)
-        self._tb = None
         if use_tensorboard:
             try:
                 from tensorboardX import SummaryWriter
@@ -31,6 +38,8 @@ class MetricsLogger:
                 self._tb = None
 
     def scalars(self, step: int, values: Dict[str, float], prefix: str = "") -> None:
+        if not self._enabled:
+            return
         rec = {"step": int(step), "time": time.time()}
         for k, v in values.items():
             name = f"{prefix}{k}"
@@ -47,6 +56,7 @@ class MetricsLogger:
             self._tb.add_image(name, img, int(step), dataformats="HWC")
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
