@@ -49,6 +49,88 @@ def test_serving_classify_matches_eval_path(served):
     )
 
 
+def test_serving_classify_bf16_matches_eval_dtype_path(served):
+    """Review regression: on a bfloat16 config the served classifier must
+    compute through the SAME bf16 pipeline as make_eval_step — an f32
+    re-implementation drifts from what `cli eval` reports."""
+    from triplegan_tpu.data import ondevice
+
+    cfg = tiny_config()
+    cfg.compute_dtype = "bfloat16"
+    nets = make_networks(cfg)
+    state = create_state(cfg, nets, make_optimizers(cfg, 1))
+    classify, _ = make_serving_fns(cfg, nets, state)
+    _, _, clf = nets
+    imgs = np.random.RandomState(1).randint(
+        0, 256, size=(4, cfg.image_size, cfg.image_size, cfg.channels)
+    ).astype(np.uint8)
+    # the eval path, verbatim (train/step.py make_eval_step)
+    x = ondevice.standard_pipeline(
+        None, jnp.asarray(imgs), train=False, dtype=jnp.bfloat16, do_rescale=True
+    )
+    want, _ = clf.apply(state.params["clf"], state.bn["clf"], x, train=False)
+    got = classify(jnp.asarray(imgs))
+    assert got.dtype == jnp.float32  # f32 at the serving boundary
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want, dtype=np.float32), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_stablehlo_multiplatform_fallback_warns(served, tmp_path, monkeypatch):
+    """Review regression: a failed cpu+tpu export must fall back LOUDLY to
+    the default backend, not silently produce a single-platform artifact."""
+    import warnings
+
+    from triplegan_tpu import export as export_mod
+
+    cfg, _, _, classify, _, imgs, _, _ = served
+    real_export = jax.export.export
+
+    def flaky_export(fn, **kwargs):
+        if kwargs.get("platforms") is not None:
+            raise ValueError("synthetic multi-platform lowering failure")
+        return real_export(fn, **kwargs)
+
+    monkeypatch.setattr(jax.export, "export", flaky_export)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        path = export_mod.export_stablehlo(
+            classify, (jnp.asarray(imgs),), str(tmp_path / "fb.shlo")
+        )
+    assert any("multi-platform export" in str(w.message) for w in caught)
+    monkeypatch.undo()
+    re_c = export_mod.load_stablehlo(path)  # fallback artifact still serves
+    np.testing.assert_allclose(
+        np.asarray(re_c(imgs)), np.asarray(classify(jnp.asarray(imgs))), rtol=1e-5
+    )
+
+
+def test_cli_export_generator_skips_zca_load(tmp_path, capsys, monkeypatch):
+    """Review regression: generator-only / npz exports never need ZCA stats
+    and must not trigger a dataset load + refit."""
+    from tests.test_cli import TINY
+    from triplegan_tpu import cli
+
+    wd = str(tmp_path / "lazyzca")
+    cli.main(["train", "--config", "mnist100", "--workdir", wd, *TINY])
+
+    def boom(cfg, workdir):
+        raise AssertionError("_load_zca must not be called for this export")
+
+    monkeypatch.setattr(cli, "_load_zca", boom)
+    capsys.readouterr()
+    cli.main([
+        "export", "--config", "mnist100", "--workdir", wd,
+        "--what", "generator", "--batch-size", "4", *TINY,
+    ])
+    cli.main([
+        "export", "--config", "mnist100", "--workdir", wd,
+        "--format", "npz", *TINY,
+    ])
+    out = capsys.readouterr().out
+    assert out.count("exported:") == 2
+
+
 def test_stablehlo_roundtrip(served, tmp_path):
     cfg, _, _, classify, generate, imgs, z, y = served
     p1 = export_stablehlo(classify, (jnp.asarray(imgs),), str(tmp_path / "c.shlo"))

@@ -90,6 +90,80 @@ def test_init_distributed_single_process_cluster():
     assert "DIST_OK" in out.stdout
 
 
+def test_resolve_zca_non_coordinator_never_touches_cache(tmp_path, monkeypatch):
+    """Review regression: under multi-host only the coordinator may read or
+    write the run-dir zca cache (shared storage — a non-coordinator read
+    could catch a torn mid-write file; a write would race). Non-coordinators
+    recompute identical stats from the data."""
+    from triplegan_tpu.data.datasets import synthetic_dataset
+    from triplegan_tpu.train.loop import _resolve_zca
+
+    cfg = type("C", (), {})()  # _resolve_zca only touches attribute access
+    import ml_collections
+
+    cfg = ml_collections.ConfigDict(
+        {"zca": True, "data_dir": str(tmp_path / "nodata"), "dataset": "synthetic",
+         "seed": 0}
+    )
+    data = synthetic_dataset(image_size=8, channels=1, num_classes=10,
+                             num_labeled=20, seed=0)
+    wd = str(tmp_path / "run")
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    stats = _resolve_zca(cfg, data, wd)
+    assert stats is not None
+    assert not os.path.exists(os.path.join(wd, "zca_stats.npz"))
+
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    stats0 = _resolve_zca(cfg, data, wd)
+    cache = os.path.join(wd, "zca_stats.npz")
+    assert os.path.exists(cache)
+    np.testing.assert_allclose(stats.whiten, stats0.whiten)  # identical fit
+    leftovers = [f for f in os.listdir(wd) if f.endswith(".tmp.npz")]
+    assert leftovers == []  # atomic publish left no tmp files
+
+
+_SUBPROCESS_MESH_GUARD = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+from triplegan_tpu.configs import get_config
+cfg = get_config("mnist100")
+cfg.dataset = "synthetic"
+cfg.batch_size = 8
+cfg.workdir = {wd!r}
+cfg.multihost = True
+cfg.multihost_coordinator = "localhost:{port}"
+cfg.multihost_num_processes = 1
+cfg.multihost_process_id = 0
+cfg.mesh_shape = (2,)  # != jax.device_count() (= 1 here)
+from triplegan_tpu.train.loop import train
+try:
+    train(cfg)
+    print("NO_ERROR")
+except ValueError as e:
+    assert "span every pod device" in str(e), e
+    print("GUARD_OK")
+"""
+
+
+def test_train_multihost_rejects_partial_mesh(tmp_path):
+    """Review regression: multihost=True with a mesh that does not span
+    every pod device must fail fast instead of silently running independent
+    single-host trainings against one shared checkpoint dir."""
+    port = 14300 + (os.getpid() % 1000)
+    wd = str(tmp_path / "guard")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # exactly one CPU device in the child
+    out = subprocess.run(
+        [sys.executable, "-c",
+         _SUBPROCESS_MESH_GUARD.format(wd=wd, port=port)],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "GUARD_OK" in out.stdout
+
+
 _SUBPROCESS_TRAIN = """
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -117,6 +191,7 @@ cfg.multihost = True
 cfg.multihost_coordinator = "localhost:{port}"
 cfg.multihost_num_processes = 1
 cfg.multihost_process_id = 0
+cfg.mesh_shape = (8,)  # the guard requires the mesh to span every device
 
 from triplegan_tpu.train.loop import train
 summary = train(cfg)
@@ -127,11 +202,16 @@ print("TRAIN_OK", summary["test_error"])
 
 def test_train_multihost_single_process_cluster(tmp_path):
     """End-to-end: cfg.multihost=True initializes the distributed runtime
-    before any backend touch and the run completes with coordinator-owned
-    artifacts (this process IS the coordinator of a 1-process cluster)."""
+    before any backend touch, the mesh spans the (8 fake-device) pod, and
+    the run completes with coordinator-owned artifacts (this process IS the
+    coordinator of a 1-process cluster)."""
     port = 13300 + (os.getpid() % 1000)
     wd = str(tmp_path / "mh")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
     out = subprocess.run(
         [sys.executable, "-c", _SUBPROCESS_TRAIN.format(wd=wd, port=port)],
         capture_output=True, text=True, timeout=560, env=env,

@@ -357,6 +357,10 @@ def cmd_export(args):
     ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), write=False)
     restored = _restore_at(ckpt, state, args, workdir)
 
+    # ZCA stats only matter for the classifier's baked-in transform; a
+    # generator-only or npz export must not pay a dataset load + refit when
+    # the run dir's stats cache is missing.
+    need_zca = args.what in ("classifier", "both") and args.format != "npz"
     written = export_artifacts(
         cfg,
         nets,
@@ -365,7 +369,7 @@ def cmd_export(args):
         what=args.what,
         fmt=args.format,
         batch_size=args.batch_size,
-        zca_stats=_load_zca(cfg, workdir),
+        zca_stats=_load_zca(cfg, workdir) if need_zca else None,
     )
     for path in written:
         print(f"exported: {path}")

@@ -46,6 +46,8 @@ def make_serving_fns(
     input transform baked in. ``generate(z, y) -> images`` — eval-mode
     generator, raw [-1,1] output space.
     """
+    from triplegan_tpu.data import ondevice
+
     gen, _, clf = nets
     if zca_stats is not None:
         zm = jnp.asarray(zca_stats.mean)
@@ -53,19 +55,25 @@ def make_serving_fns(
     else:
         zm = zw = None
     rescale = bool(cfg.get("rescale", True))
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     params_c, bn_c = state.params["clf"], state.bn["clf"]
     params_g, bn_g = state.params["gen"], state.bn["gen"]
 
     def classify(images_u8):
-        x = images_u8.astype(jnp.float32)
-        if rescale:
-            x = x / 127.5 - 1.0
-        if zm is not None:
-            from triplegan_tpu.data.zca import apply_zca
-
-            x = apply_zca(x, zm, zw)
+        # Exactly the eval path (train/step.py make_eval_step): the same
+        # on-device transform, INCLUDING the compute-dtype cast — a bf16
+        # config must serve the same logits `cli eval` computes.
+        x = ondevice.standard_pipeline(
+            None,
+            images_u8,
+            zca_mean=zm,
+            zca_whiten=zw,
+            train=False,
+            dtype=cdt,
+            do_rescale=rescale,
+        )
         logits, _ = clf.apply(params_c, bn_c, x, train=False)
-        return logits
+        return logits.astype(jnp.float32)  # f32 at the serving boundary
 
     def generate(z, y):
         x, _ = gen.apply(params_g, bn_g, z, y, train=False)
@@ -86,12 +94,22 @@ def export_stablehlo(fn: Callable, args: tuple, path: str) -> str:
     ``args`` are ShapeDtypeStructs (or arrays — shapes/dtypes are taken).
     Reload with :func:`load_stablehlo`."""
     specs = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args)
+    platforms = _export_platforms()
     try:
-        exported = jax.export.export(
-            jax.jit(fn), platforms=_export_platforms()
-        )(*specs)
-    except Exception:
-        # e.g. a platform-specific custom call blocks multi-platform export
+        exported = jax.export.export(jax.jit(fn), platforms=platforms)(*specs)
+    except Exception as e:
+        # e.g. a platform-specific custom call blocks multi-platform
+        # lowering. Fall back to the default backend only — LOUDLY: a
+        # silently single-platform artifact fails far away, at deploy time.
+        import warnings
+
+        warnings.warn(
+            f"export_stablehlo: multi-platform export for {platforms} failed "
+            f"({type(e).__name__}: {e}); falling back to the current default "
+            f"backend ({jax.default_backend()}) only — this artifact will NOT "
+            "load on other platforms",
+            stacklevel=2,
+        )
         exported = jax.export.export(jax.jit(fn))(*specs)
     data = exported.serialize()
     with open(path, "wb") as f:

@@ -61,16 +61,24 @@ def _resolve_zca(cfg, data: SemiSupervisedData, workdir: str) -> Optional[ZCASta
     train-time whitening even if the data dir moves."""
     if not cfg.zca:
         return None
+    coord = jax.process_index() == 0
     cache = os.path.join(workdir, "zca_stats.npz")
-    if os.path.exists(cache):
+    # Non-coordinator processes of a multi-host run neither read nor write
+    # the run-dir cache (reading could catch the coordinator's write mid-
+    # flight on shared storage; writing would race it). They recompute from
+    # the prepared stats / a deterministic fit — identical by construction.
+    if coord and os.path.exists(cache):
         return ZCAStats.load(cache)
     prepared = os.path.join(cfg.data_dir, cfg.dataset, "zca_stats.npz")
     if cfg.dataset != "synthetic" and os.path.exists(prepared):
         stats = ZCAStats.load(prepared)
     else:
         stats = fit_zca(data.x_unlabel)
-    os.makedirs(workdir, exist_ok=True)
-    stats.save(cache)
+    if coord:
+        os.makedirs(workdir, exist_ok=True)
+        tmp = f"{cache}.{os.getpid()}.tmp.npz"  # .npz suffix: np.savez appends it otherwise
+        stats.save(tmp)
+        os.replace(tmp, cache)  # atomic publish: readers never see a torn file
     return stats
 
 
@@ -117,6 +125,15 @@ def train(
         print("param counts:", param_count(state))
 
     n_dev = int(np.prod(cfg.mesh_shape))
+    if bool(cfg.get("multihost", False)) and n_dev != jax.device_count():
+        # Without this, a forgotten mesh_shape silently runs N independent
+        # single-host trainings that all commit process-local states into
+        # the same shared checkpoint dir.
+        raise ValueError(
+            f"multihost=True requires the mesh to span every pod device: "
+            f"prod(mesh_shape)={n_dev} but jax.device_count()="
+            f"{jax.device_count()} — set mesh_shape=({jax.device_count()},)"
+        )
     if cfg.batch_size % max(n_dev, 1) != 0:
         raise ValueError(
             f"batch_size {cfg.batch_size} must divide evenly over the "
