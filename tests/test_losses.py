@@ -109,6 +109,60 @@ def test_c_adversarial_no_gradient_to_d_signal():
     np.testing.assert_array_equal(np.asarray(g), 0.0)
 
 
+def test_c_adversarial_estimator_expectation_exact_enumeration():
+    """The REINFORCE surrogate against ground truth, by exact enumeration
+    over all K^B joint label draws (no Monte Carlo noise):
+
+    - without baseline, E_y[grad surrogate] equals the exact gradient of
+      L(θ) = α·mean_i E_{y~p_i}[w_i(y)];
+    - with the self-included batch-mean baseline, the expectation is
+      (1 − 1/B)·exact — cross terms vanish (E[∇log p] = 0) but each
+      sample's own contribution to the mean subtracts 1/B of itself.
+      Direction exact, magnitude scaled (≡ a slightly smaller α).
+    """
+    import itertools
+
+    B, K = 2, 3
+    rng = np.random.RandomState(0)
+    theta = jnp.asarray(rng.normal(size=(B, K)), jnp.float32)
+    alpha = 0.5
+    p = np.asarray(jax.nn.softmax(theta, axis=-1), np.float64)
+    # D scores per (example, candidate label) — the pair discriminator
+    # scores (x_i, y), so w varies with y (a y-constant w would make the
+    # exact gradient 0 and the test vacuous)
+    d_per_label = rng.normal(size=(B, K)).astype(np.float32)
+    w_per_label = np.asarray(
+        losses.log_one_minus_sigmoid(jnp.asarray(d_per_label)), np.float64
+    )
+
+    def exact_loss(th):
+        pi = jax.nn.softmax(th, axis=-1)
+        return alpha * jnp.mean(jnp.sum(pi * jnp.asarray(w_per_label), axis=-1))
+
+    g_exact = np.asarray(jax.grad(exact_loss)(theta), np.float64)
+
+    def surrogate_grad(y_vec, use_baseline):
+        d = jnp.asarray(d_per_label[np.arange(B), y_vec])
+
+        def f(th):
+            return losses.c_adversarial_loss(
+                d, th, jnp.asarray(y_vec, jnp.int32),
+                alpha, use_baseline=use_baseline,
+            )
+
+        return np.asarray(jax.grad(f)(theta), np.float64)
+
+    for use_baseline, scale in ((False, 1.0), (True, 1.0 - 1.0 / B)):
+        acc = np.zeros((B, K))
+        for ys in itertools.product(range(K), repeat=B):
+            prob = float(np.prod(p[np.arange(B), list(ys)]))
+            acc += prob * surrogate_grad(np.array(ys), use_baseline)
+        np.testing.assert_allclose(
+            acc, scale * g_exact, rtol=2e-4, atol=2e-5,
+            err_msg=f"use_baseline={use_baseline}",
+        )
+
+
 def test_c_loss_alpha_p_gating():
     logits = jnp.zeros((2, 3))
     y = jnp.array([0, 1])

@@ -110,9 +110,13 @@ def c_adversarial_loss(
     """REINFORCE surrogate for α·E_{y~p_c}[log(1 - D(x_u, y))].
 
     surrogate = α · mean( sg(w) · log p_c(y_c | x_u) ),
-    w = log(1 - D(x_u, y_c)) (optionally mean-centered as a variance-reducing
-    baseline — the estimator's expectation is unchanged because
-    E[∇log p_c] = 0).
+    w = log(1 - D(x_u, y_c)), optionally mean-centered as a variance-reducing
+    baseline. Precision note (proven by exact enumeration in
+    ``tests/test_losses.py``): the self-included batch-mean baseline makes
+    the gradient expectation exactly (1 − 1/B)·exact — cross terms vanish
+    since E[∇log p_c] = 0, but each sample subtracts 1/B of its own
+    advantage. Direction exact; the shrinkage is an O(1/B) rescale of α
+    (≤0.5% at the shipped batch sizes), standard for this baseline form.
     Minimizing it raises p_c on labels the discriminator scores as realistic.
     Under data parallelism the baseline must be the GLOBAL batch mean
     (``axis_name`` → pmean), or each shard centers by its own mean and the
