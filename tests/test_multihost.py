@@ -146,6 +146,88 @@ except ValueError as e:
 """
 
 
+_SUBPROCESS_2PROC = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+
+from triplegan_tpu.configs import get_config
+
+cfg = get_config("mnist100")
+cfg.dataset = "synthetic"
+cfg.image_size = 16
+cfg.num_labeled = 40
+cfg.z_dim = 16
+cfg.gen.widths = (32, 16)
+cfg.disc.widths = (16, 16)
+cfg.disc.strides = (1, 2)
+cfg.clf.conv_blocks = ((8, 8), (16,))
+cfg.clf.tail = (16, 8)
+cfg.batch_size = 8
+cfg.steps_per_epoch = 2
+cfg.epochs = 1
+cfg.zca = False
+cfg.aug_translate = 0
+cfg.aug_flip = False
+cfg.log_every = 1
+cfg.workdir = {wd!r}
+cfg.multihost = True
+cfg.multihost_coordinator = "localhost:{port}"
+cfg.multihost_num_processes = 2
+cfg.multihost_process_id = pid
+cfg.mesh_shape = (2,)  # one CPU device per process -> 2 global
+
+from triplegan_tpu.train.loop import train
+summary = train(cfg, verbose=False)
+import numpy as np
+# checksum of the final replicated params: must be identical on both
+# processes if the cross-process collectives really synchronized them
+leaves = jax.tree.leaves(summary["state"].params)
+csum = float(sum(np.float64(np.sum(np.asarray(l, np.float64))) for l in leaves))
+print(f"RESULT pid={{pid}} steps={{summary['steps']}} csum={{csum:.10e}}", flush=True)
+"""
+
+
+def test_train_two_process_cluster_end_to_end(tmp_path):
+    """THE multihost test: a real 2-process jax.distributed cluster (one
+    CPU device per process, gloo collectives) runs the full train driver
+    against one shared workdir. Exercises cross-process mesh construction,
+    stage_global over non-addressable shardings, pmean/sync-BN collectives
+    across processes, coordinator-only artifacts, and orbax's
+    multi-process checkpoint commit. Both processes must finish with
+    IDENTICAL final parameters."""
+    port = 15300 + (os.getpid() % 1000)
+    wd = str(tmp_path / "mh2")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # exactly one local CPU device per process
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = _SUBPROCESS_2PROC.format(wd=wd, port=port)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=repo,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=560) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-3000:]
+    results = {}
+    for out, _ in outs:
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+        parts = dict(kv.split("=") for kv in line.split()[1:])
+        results[int(parts["pid"])] = parts
+    assert results[0]["steps"] == results[1]["steps"] == "2"
+    assert results[0]["csum"] == results[1]["csum"], results
+    # coordinator-only artifacts, written exactly once
+    run_dir = os.path.join(wd, "mnist100")
+    assert os.path.exists(os.path.join(run_dir, "config.json"))
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+    assert os.path.isdir(os.path.join(run_dir, "ckpt"))
+
+
 def test_train_multihost_rejects_partial_mesh(tmp_path):
     """Review regression: multihost=True with a mesh that does not span
     every pod device must fail fast instead of silently running independent
