@@ -228,6 +228,133 @@ def test_train_two_process_cluster_end_to_end(tmp_path):
     assert os.path.isdir(os.path.join(run_dir, "ckpt"))
 
 
+_SUBPROCESS_2PROC_DET = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+
+from triplegan_tpu.configs.base import base_config
+
+cfg = base_config()
+cfg.name = "det2p"
+cfg.dataset = "synthetic"
+cfg.image_size = 16
+cfg.channels = 3
+cfg.num_classes = 10
+cfg.num_labeled = 40
+cfg.zca = False
+cfg.aug_translate = 0
+cfg.aug_flip = False
+cfg.z_dim = 16
+cfg.gen.widths = (32, 16)
+cfg.disc.widths = (16, 16)
+cfg.disc.strides = (1, 2)
+cfg.disc.input_noise = 0.0
+cfg.disc.input_dropout = 0.0
+cfg.disc.block_dropout = 0.0
+cfg.clf.conv_blocks = ((8, 8), (16,))
+cfg.clf.tail = (16, 8)
+cfg.clf.input_noise = 0.0
+cfg.clf.block_dropout = 0.0
+cfg.pseudo_label_mode = "argmax"
+cfg.batch_size = 8
+cfg.data_on_device = False
+cfg.epochs = 1
+cfg.steps_per_epoch = 2
+cfg.log_every = 0
+cfg.eval_every_epochs = 0
+cfg.ckpt_every_epochs = 0
+cfg.workdir = {wd!r}
+cfg.multihost = True
+cfg.multihost_coordinator = "localhost:{port}"
+cfg.multihost_num_processes = 2
+cfg.multihost_process_id = pid
+cfg.mesh_shape = (2,)
+
+from triplegan_tpu.train.loop import train
+summary = train(cfg, verbose=False)
+if pid == 0:
+    import numpy as np
+    leaves = jax.tree.leaves(summary["state"].params)
+    np.savez({out!r}, **{{f"p{{i}}": np.asarray(l) for i, l in enumerate(leaves)}})
+print(f"DET2P_OK pid={{pid}}", flush=True)
+"""
+
+
+def test_two_process_trajectory_equals_single_device(tmp_path):
+    """Cross-process analogue of test_parallel's headline equivalence: a
+    deterministic config trained on a real 2-process cluster (host-pipeline
+    path, identically-seeded samplers → same global batches) must produce
+    the SAME parameters as the same config trained single-device in this
+    process. Tolerances as in test_parallel (Adam under f32 reduction-order
+    noise)."""
+    port = 16300 + (os.getpid() % 1000)
+    wd = str(tmp_path / "det2p")
+    out_npz = str(tmp_path / "det2p_params.npz")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = _SUBPROCESS_2PROC_DET.format(wd=wd, port=port, out=out_npz)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=repo,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=560) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-3000:]
+        assert "DET2P_OK" in out
+
+    # single-device reference, in-process (same cfg minus the cluster)
+    from triplegan_tpu.configs.base import base_config
+    from triplegan_tpu.train.loop import train
+
+    cfg = base_config()
+    cfg.name = "det1p"
+    cfg.dataset = "synthetic"
+    cfg.image_size = 16
+    cfg.channels = 3
+    cfg.num_classes = 10
+    cfg.num_labeled = 40
+    cfg.zca = False
+    cfg.aug_translate = 0
+    cfg.aug_flip = False
+    cfg.z_dim = 16
+    cfg.gen.widths = (32, 16)
+    cfg.disc.widths = (16, 16)
+    cfg.disc.strides = (1, 2)
+    cfg.disc.input_noise = 0.0
+    cfg.disc.input_dropout = 0.0
+    cfg.disc.block_dropout = 0.0
+    cfg.clf.conv_blocks = ((8, 8), (16,))
+    cfg.clf.tail = (16, 8)
+    cfg.clf.input_noise = 0.0
+    cfg.clf.block_dropout = 0.0
+    cfg.pseudo_label_mode = "argmax"
+    cfg.batch_size = 8
+    cfg.data_on_device = False
+    cfg.epochs = 1
+    cfg.steps_per_epoch = 2
+    cfg.log_every = 0
+    cfg.eval_every_epochs = 0
+    cfg.ckpt_every_epochs = 0
+    cfg.workdir = str(tmp_path / "det1p")
+    summary = train(cfg, verbose=False)
+    ref_leaves = jax.tree.leaves(summary["state"].params)
+
+    got = np.load(out_npz)
+    assert len(got.files) == len(ref_leaves)
+    for i, ref in enumerate(ref_leaves):
+        np.testing.assert_allclose(
+            got[f"p{i}"], np.asarray(ref), rtol=5e-4, atol=5e-4,
+            err_msg=f"leaf {i}",
+        )
+
+
 def test_train_multihost_rejects_partial_mesh(tmp_path):
     """Review regression: multihost=True with a mesh that does not span
     every pod device must fail fast instead of silently running independent
