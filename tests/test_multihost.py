@@ -355,6 +355,83 @@ def test_two_process_trajectory_equals_single_device(tmp_path):
         )
 
 
+_SUBPROCESS_2PROC_RESUME = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+phase = sys.argv[2]  # "first" (2 epochs) or "second" (4 epochs, resumes)
+
+from triplegan_tpu.configs import get_config
+
+cfg = get_config("mnist100")
+cfg.dataset = "synthetic"
+cfg.image_size = 16
+cfg.num_labeled = 40
+cfg.z_dim = 16
+cfg.gen.widths = (32, 16)
+cfg.disc.widths = (16, 16)
+cfg.disc.strides = (1, 2)
+cfg.clf.conv_blocks = ((8, 8), (16,))
+cfg.clf.tail = (16, 8)
+cfg.batch_size = 8
+cfg.steps_per_epoch = 2
+cfg.epochs = 2 if phase == "first" else 4
+cfg.zca = False
+cfg.aug_translate = 0
+cfg.aug_flip = False
+cfg.log_every = 0
+cfg.eval_every_epochs = 0
+cfg.ckpt_every_epochs = 1
+cfg.workdir = {wd!r}
+cfg.multihost = True
+cfg.multihost_coordinator = "localhost:{port}"
+cfg.multihost_num_processes = 2
+cfg.multihost_process_id = pid
+cfg.mesh_shape = (2,)
+
+from triplegan_tpu.train.loop import train
+summary = train(cfg, verbose=False)
+print(f"RESUME_OK pid={{pid}} phase={{phase}} steps={{summary['steps']}}", flush=True)
+"""
+
+
+def _run_2proc(script_args, env, repo, timeout=560):
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script_args[0], str(pid), *script_args[1:]],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=repo,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=timeout) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-3000:]
+    return outs
+
+
+def test_two_process_checkpoint_resume(tmp_path):
+    """Pod failure-recovery: a 2-process cluster trains 4 steps and exits;
+    a FRESH 2-process cluster on the same run dir must restore the orbax
+    multi-process checkpoint and continue to 8 — both processes agreeing
+    on the restored step."""
+    port = 17300 + (os.getpid() % 1000)
+    wd = str(tmp_path / "resume2p")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = _SUBPROCESS_2PROC_RESUME.format(wd=wd, port=port)
+
+    outs = _run_2proc([script, "first"], env, repo)
+    assert all("steps=4" in out for out, _ in outs)
+
+    port2 = port + 1  # fresh coordinator for the second cluster
+    script2 = _SUBPROCESS_2PROC_RESUME.format(wd=wd, port=port2)
+    outs = _run_2proc([script2, "second"], env, repo)
+    assert all("steps=8" in out for out, _ in outs)
+
+
 def test_train_multihost_rejects_partial_mesh(tmp_path):
     """Review regression: multihost=True with a mesh that does not span
     every pod device must fail fast instead of silently running independent
