@@ -177,6 +177,7 @@ cfg.multihost_coordinator = "localhost:{port}"
 cfg.multihost_num_processes = 2
 cfg.multihost_process_id = pid
 cfg.mesh_shape = (2,)  # one CPU device per process -> 2 global
+cfg.scan_steps = 2     # production path: scan-chunked device-data over the cluster
 
 from triplegan_tpu.train.loop import train
 summary = train(cfg, verbose=False)
