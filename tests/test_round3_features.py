@@ -11,6 +11,7 @@
 
 import json
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -510,7 +511,12 @@ def test_restore_only_manager_preserves_tmp_dirs(tmp_path):
     assert inflight.exists(), "restore-only open must not purge tmp dirs"
 
     # ... while a writing open (train restart) still cleans the debris.
+    # orbax performs the cleanup as an async CommitFuture at open — poll
+    # with a bound instead of racing it (flaked once under full-suite load).
     w2 = CheckpointManager(str(d))
+    deadline = time.time() + 60
+    while inflight.exists() and time.time() < deadline:
+        time.sleep(0.2)
     w2.close()
     assert not inflight.exists()
 
