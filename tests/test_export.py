@@ -172,6 +172,35 @@ def test_savedmodel_roundtrip(served, tmp_path):
     )
 
 
+def test_stablehlo_artifact_as_is_fid_scorer(served, tmp_path):
+    """Composition: an exported classifier (.stablehlo) plugs into
+    load_scorer, so IS/FID can score with any exported model. Float [-1,1]
+    inputs map back to the exact uint8 pixels; ragged chunks pad to the
+    serving batch; shape mismatches fail with the contract in the message."""
+    from triplegan_tpu.eval.inception import load_scorer
+
+    cfg, _, _, classify, _, imgs, _, _ = served
+    path = export_stablehlo(
+        classify, (jnp.asarray(imgs),), str(tmp_path / "classify.stablehlo")
+    )
+    scorer = load_scorer(path, outputs="logits")
+
+    # uint8 → [-1,1] float → (inside the scorer) back to the same uint8
+    imgs7 = np.concatenate([imgs, imgs[:3]], axis=0)  # 7 rows vs serving batch 4
+    floats = imgs7.astype(np.float32) / 127.5 - 1.0
+    want = np.concatenate(
+        [np.asarray(classify(jnp.asarray(imgs7[i : i + 4])))
+         for i in (0,)] + [np.asarray(classify(jnp.asarray(
+             np.concatenate([imgs7[4:], imgs7[6:7]], axis=0))))[:3]],
+        axis=0,
+    )
+    got = np.asarray(scorer(floats))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError, match="serving contract"):
+        scorer(np.zeros((2, 8, 8, 3), np.float32))
+
+
 def test_npz_export_contains_all_leaves(served, tmp_path):
     cfg, _, state, _, _, _, _, _ = served
     path = export_npz(state, str(tmp_path / "params.npz"))

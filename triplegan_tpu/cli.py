@@ -424,8 +424,8 @@ def main(argv=None):
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument(
         "--scorer-path", default=None,
-        help="external scorer: Inception-v3 SavedModel dir or .npz "
-             "(see eval/inception.load_scorer)",
+        help="external scorer: Inception-v3 SavedModel dir, .npz, or an "
+             "exported classifier .stablehlo (see eval/inception.load_scorer)",
     )
     sp.add_argument(
         "--scorer-outputs", default="auto", choices=("auto", "logits", "probs"),
@@ -451,9 +451,9 @@ def main(argv=None):
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument(
         "--scorer-path", default=None,
-        help="external feature extractor: SavedModel dir or .npz "
-             "(see eval/inception.load_scorer); default is the checkpoint's "
-             "classifier GAP features",
+        help="external feature extractor: SavedModel dir, .npz, or an exported "
+             "classifier .stablehlo (see eval/inception.load_scorer); default "
+             "is the checkpoint's classifier GAP features",
     )
     sp.add_argument(
         "--scorer-output-name", default=None,

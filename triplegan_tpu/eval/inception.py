@@ -119,6 +119,13 @@ def load_scorer(
         (features, classes) and optional ``b``; images are flattened. This
         is the simple interchange format for custom scorers and the unit
         tests' stub.
+      * **.stablehlo artifact** (``cli export --what classifier``) — any
+        exported classifier from this framework becomes a scorer: score
+        run A's samples with run B's (e.g. better-trained) classifier.
+        The artifact takes raw uint8 pixels at a fixed batch; float
+        [-1, 1] inputs are mapped back to pixel space and chunks are
+        padded to the serving batch. Spatial shape must match the
+        artifact's.
 
     ``outputs``: what the model emits — ``"logits"``, ``"probs"``
     (softmax probabilities, as Keras/TF-Hub Inception exports commonly
@@ -162,6 +169,39 @@ def load_scorer(
             return jnp.asarray(_as_logits(out.numpy(), outputs, probe_state))
 
         return tf_scorer
+
+    if path.endswith(".stablehlo"):
+        from triplegan_tpu.export import load_stablehlo_exported
+
+        exported = load_stablehlo_exported(path)
+        aval = exported.in_avals[0]
+        b, expect_shape = int(aval.shape[0]), tuple(aval.shape[1:])
+        call = exported.call
+        shlo_state: dict = {}
+
+        def shlo_scorer(images):
+            x = np.asarray(images)
+            if x.shape[1:] != expect_shape:
+                raise ValueError(
+                    f"stablehlo scorer expects images of shape {expect_shape} "
+                    f"(from the artifact's serving contract), got {x.shape[1:]}"
+                )
+            if x.dtype != np.uint8:
+                # callers feed the generator's raw [-1,1] space; the exported
+                # classifier's baked-in transform starts from uint8 pixels
+                x = np.clip(np.round((x + 1.0) * 127.5), 0, 255).astype(np.uint8)
+            outs = []
+            for i in range(0, x.shape[0], b):
+                xi = x[i : i + b]
+                pad = b - xi.shape[0]
+                if pad:  # fixed serving batch: pad the final chunk
+                    xi = np.concatenate([xi, np.repeat(xi[-1:], pad, axis=0)])
+                o = np.asarray(call(xi))
+                outs.append(o[: b - pad] if pad else o)
+            arr = np.concatenate(outs, axis=0)
+            return jnp.asarray(_as_logits(arr, outputs, shlo_state))
+
+        return shlo_scorer
 
     wts = np.load(path)
     if "w" not in wts:

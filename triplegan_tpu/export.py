@@ -117,12 +117,18 @@ def export_stablehlo(fn: Callable, args: tuple, path: str) -> str:
     return path
 
 
+def load_stablehlo_exported(path: str):
+    """Re-import a :func:`export_stablehlo` artifact as the full
+    ``jax.export.Exported`` (exposes ``in_avals`` etc. for callers that
+    need the serving shape contract)."""
+    with open(path, "rb") as f:
+        return jax.export.deserialize(f.read())
+
+
 def load_stablehlo(path: str) -> Callable:
     """Re-import a :func:`export_stablehlo` artifact as a callable (runs
     under jit on whatever backend is active — in-process serving)."""
-    with open(path, "rb") as f:
-        exported = jax.export.deserialize(f.read())
-    return exported.call
+    return load_stablehlo_exported(path).call
 
 
 def export_savedmodel(
