@@ -2,6 +2,8 @@
 distance against closed forms and sampled Gaussians, the chunked stats
 driver, the classifier feature hook, and the CLI surface."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -117,6 +119,30 @@ def test_cli_fid_runs(tmp_path, capsys):
     assert "FID (classifier GAP features" in out
     fid_val = float(out.strip().rsplit(":", 1)[1])
     assert np.isfinite(fid_val) and fid_val >= 0
+
+
+def test_cli_fid_stablehlo_scorer_roundtrip(tmp_path, capsys):
+    """Full composition at the CLI: train → export the classifier →
+    score FID with the exported artifact as the feature extractor."""
+    from tests.test_cli import TINY
+    from triplegan_tpu.cli import main
+
+    wd = str(tmp_path / "fidshlo")
+    main(["train", "--config", "mnist100", "--workdir", wd, *TINY])
+    main([
+        "export", "--config", "mnist100", "--workdir", wd,
+        "--what", "classifier", "--batch-size", "8", *TINY,
+    ])
+    capsys.readouterr()
+    main([
+        "fid", "--config", "mnist100", "--workdir", wd,
+        "--n-samples", "20", "--n-real", "24",
+        "--scorer-path", os.path.join(wd, "mnist100", "export", "classify.stablehlo"),
+        *TINY,
+    ])
+    out = capsys.readouterr().out
+    assert "FID (external features" in out
+    assert np.isfinite(float(out.strip().rsplit(":", 1)[1]))
 
 
 def test_cli_fid_external_npz_scorer(tmp_path, capsys):
