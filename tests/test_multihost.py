@@ -1,8 +1,8 @@
 """Multi-host (pod-scale) support: stage_global's single-/multi-process
 staging contract, jax.distributed init gating, coordinator-only logging,
-and the end-to-end multihost=True train path (single-process cluster)."""
+and the end-to-end multihost=True train paths — including REAL 2-process
+jax.distributed clusters (one CPU device per process, gloo collectives)."""
 
-import json
 import os
 import subprocess
 import sys
@@ -13,6 +13,8 @@ import pytest
 
 from triplegan_tpu.parallel import mesh as pmesh
 from triplegan_tpu.utils.logging import MetricsLogger
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="module")
@@ -63,6 +65,125 @@ def test_metrics_logger_disabled_writes_nothing(tmp_path):
     assert not os.path.exists(wd)
 
 
+# ---------------------------------------------------------------------------
+# Shared cluster-test machinery
+# ---------------------------------------------------------------------------
+
+def _cluster_env(n_local_devices=1):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    if n_local_devices > 1:
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={n_local_devices}"
+        )
+    else:
+        env.pop("XLA_FLAGS", None)  # exactly one CPU device per process
+    return env
+
+
+def _run_2proc(script, extra_args, tmp_dir, timeout=560):
+    """Launch the 2-process cluster. Child output goes to files (no pipe
+    backpressure between live peers); on ANY failure or timeout both
+    processes are killed so a hung peer can't orphan and contend for the
+    core (the orphaned-child failure mode CLAUDE.md warns about)."""
+    env = _cluster_env()
+    procs, logs = [], []
+    for pid in (0, 1):
+        log = open(os.path.join(tmp_dir, f"proc{pid}.log"), "w+")
+        logs.append(log)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", script, str(pid), *extra_args],
+            stdout=log, stderr=subprocess.STDOUT, text=True, env=env, cwd=REPO,
+        ))
+    try:
+        for p in procs:
+            p.wait(timeout=timeout)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    outs = []
+    for p, log in zip(procs, logs):
+        log.seek(0)
+        text = log.read()
+        log.close()
+        assert p.returncode == 0, text[-3000:]
+        outs.append(text)
+    return outs
+
+
+# Tiny-net overrides shared by every cluster script AND the in-process
+# single-device reference — ONE source of truth so the equivalence test's
+# two sides cannot drift (dotted keys address nested sections).
+TINY_NET_OVERRIDES = {
+    "dataset": "synthetic",
+    "image_size": 16,
+    "num_labeled": 40,
+    "z_dim": 16,
+    "gen.widths": (32, 16),
+    "disc.widths": (16, 16),
+    "disc.strides": (1, 2),
+    "clf.conv_blocks": ((8, 8), (16,)),
+    "clf.tail": (16, 8),
+    "batch_size": 8,
+    "steps_per_epoch": 2,
+    "zca": False,
+    "aug_translate": 0,
+    "aug_flip": False,
+}
+
+# Extra overrides that make the step fully deterministic (the equivalence
+# test's requirement: no stochastic layers, argmax pseudo-labels).
+DET_OVERRIDES = {
+    **TINY_NET_OVERRIDES,
+    "name": "det",
+    "channels": 3,
+    "num_classes": 10,
+    "disc.input_noise": 0.0,
+    "disc.input_dropout": 0.0,
+    "disc.block_dropout": 0.0,
+    "clf.input_noise": 0.0,
+    "clf.block_dropout": 0.0,
+    "pseudo_label_mode": "argmax",
+    "data_on_device": False,
+    "epochs": 1,
+    "log_every": 0,
+    "eval_every_epochs": 0,
+    "ckpt_every_epochs": 0,
+}
+
+
+def apply_flat(cfg, overrides):
+    """Apply {dotted.key: value} overrides to a ConfigDict."""
+    for k, v in overrides.items():
+        node = cfg
+        *parents, leaf = k.split(".")
+        for p in parents:
+            node = node[p]
+        node[leaf] = v
+    return cfg
+
+
+_CLUSTER_PRELUDE = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+
+from tests.test_multihost import TINY_NET_OVERRIDES, DET_OVERRIDES, apply_flat
+
+
+def cluster_cfg(cfg, wd, port, overrides):
+    apply_flat(cfg, overrides)
+    cfg.workdir = wd
+    cfg.multihost = True
+    cfg.multihost_coordinator = "localhost:%d" % port
+    cfg.multihost_num_processes = 2
+    cfg.multihost_process_id = pid
+    cfg.mesh_shape = (2,)  # one CPU device per process -> 2 global
+    return cfg
+"""
+
+
 _SUBPROCESS_INIT = """
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -80,11 +201,10 @@ def test_init_distributed_single_process_cluster():
     CPU-cluster form of the pod auto-detect path), plus idempotent re-init.
     Subprocess keeps this test's runtime out of the shared pytest process."""
     port = 12300 + (os.getpid() % 1000)
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
     out = subprocess.run(
         [sys.executable, "-c", _SUBPROCESS_INIT.format(port=port)],
-        capture_output=True, text=True, timeout=300, env=env,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=300, env=_cluster_env(),
+        cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "DIST_OK" in out.stdout
@@ -95,11 +215,10 @@ def test_resolve_zca_non_coordinator_never_touches_cache(tmp_path, monkeypatch):
     write the run-dir zca cache (shared storage — a non-coordinator read
     could catch a torn mid-write file; a write would race). Non-coordinators
     recompute identical stats from the data."""
+    import ml_collections
+
     from triplegan_tpu.data.datasets import synthetic_dataset
     from triplegan_tpu.train.loop import _resolve_zca
-
-    cfg = type("C", (), {})()  # _resolve_zca only touches attribute access
-    import ml_collections
 
     cfg = ml_collections.ConfigDict(
         {"zca": True, "data_dir": str(tmp_path / "nodata"), "dataset": "synthetic",
@@ -146,38 +265,29 @@ except ValueError as e:
 """
 
 
-_SUBPROCESS_2PROC = """
-import sys
-import jax
-jax.config.update("jax_platforms", "cpu")
-pid = int(sys.argv[1])
+def test_train_multihost_rejects_partial_mesh(tmp_path):
+    """Review regression: multihost=True with a mesh that does not span
+    every pod device must fail fast instead of silently running independent
+    single-host trainings against one shared checkpoint dir."""
+    port = 14300 + (os.getpid() % 1000)
+    wd = str(tmp_path / "guard")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         _SUBPROCESS_MESH_GUARD.format(wd=wd, port=port)],
+        capture_output=True, text=True, timeout=300, env=_cluster_env(),
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "GUARD_OK" in out.stdout
 
+
+_SUBPROCESS_2PROC = _CLUSTER_PRELUDE + """
 from triplegan_tpu.configs import get_config
 
-cfg = get_config("mnist100")
-cfg.dataset = "synthetic"
-cfg.image_size = 16
-cfg.num_labeled = 40
-cfg.z_dim = 16
-cfg.gen.widths = (32, 16)
-cfg.disc.widths = (16, 16)
-cfg.disc.strides = (1, 2)
-cfg.clf.conv_blocks = ((8, 8), (16,))
-cfg.clf.tail = (16, 8)
-cfg.batch_size = 8
-cfg.steps_per_epoch = 2
+cfg = cluster_cfg(get_config("mnist100"), {wd!r}, {port}, TINY_NET_OVERRIDES)
 cfg.epochs = 1
-cfg.zca = False
-cfg.aug_translate = 0
-cfg.aug_flip = False
 cfg.log_every = 1
-cfg.workdir = {wd!r}
-cfg.multihost = True
-cfg.multihost_coordinator = "localhost:{port}"
-cfg.multihost_num_processes = 2
-cfg.multihost_process_id = pid
-cfg.mesh_shape = (2,)  # one CPU device per process -> 2 global
-cfg.scan_steps = 2     # production path: scan-chunked device-data over the cluster
+cfg.scan_steps = 2  # production path: scan-chunked device-data over the cluster
 
 from triplegan_tpu.train.loop import train
 summary = train(cfg, verbose=False)
@@ -200,23 +310,11 @@ def test_train_two_process_cluster_end_to_end(tmp_path):
     IDENTICAL final parameters."""
     port = 15300 + (os.getpid() % 1000)
     wd = str(tmp_path / "mh2")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    env.pop("XLA_FLAGS", None)  # exactly one local CPU device per process
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    script = _SUBPROCESS_2PROC.format(wd=wd, port=port)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", script, str(pid)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            env=env, cwd=repo,
-        )
-        for pid in (0, 1)
-    ]
-    outs = [p.communicate(timeout=560) for p in procs]
-    for p, (out, err) in zip(procs, outs):
-        assert p.returncode == 0, err[-3000:]
+    outs = _run_2proc(
+        _SUBPROCESS_2PROC.format(wd=wd, port=port), [], str(tmp_path)
+    )
     results = {}
-    for out, _ in outs:
+    for out in outs:
         line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
         parts = dict(kv.split("=") for kv in line.split()[1:])
         results[int(parts["pid"])] = parts
@@ -229,49 +327,10 @@ def test_train_two_process_cluster_end_to_end(tmp_path):
     assert os.path.isdir(os.path.join(run_dir, "ckpt"))
 
 
-_SUBPROCESS_2PROC_DET = """
-import sys
-import jax
-jax.config.update("jax_platforms", "cpu")
-pid = int(sys.argv[1])
-
+_SUBPROCESS_2PROC_DET = _CLUSTER_PRELUDE + """
 from triplegan_tpu.configs.base import base_config
 
-cfg = base_config()
-cfg.name = "det2p"
-cfg.dataset = "synthetic"
-cfg.image_size = 16
-cfg.channels = 3
-cfg.num_classes = 10
-cfg.num_labeled = 40
-cfg.zca = False
-cfg.aug_translate = 0
-cfg.aug_flip = False
-cfg.z_dim = 16
-cfg.gen.widths = (32, 16)
-cfg.disc.widths = (16, 16)
-cfg.disc.strides = (1, 2)
-cfg.disc.input_noise = 0.0
-cfg.disc.input_dropout = 0.0
-cfg.disc.block_dropout = 0.0
-cfg.clf.conv_blocks = ((8, 8), (16,))
-cfg.clf.tail = (16, 8)
-cfg.clf.input_noise = 0.0
-cfg.clf.block_dropout = 0.0
-cfg.pseudo_label_mode = "argmax"
-cfg.batch_size = 8
-cfg.data_on_device = False
-cfg.epochs = 1
-cfg.steps_per_epoch = 2
-cfg.log_every = 0
-cfg.eval_every_epochs = 0
-cfg.ckpt_every_epochs = 0
-cfg.workdir = {wd!r}
-cfg.multihost = True
-cfg.multihost_coordinator = "localhost:{port}"
-cfg.multihost_num_processes = 2
-cfg.multihost_process_id = pid
-cfg.mesh_shape = (2,)
+cfg = cluster_cfg(base_config(), {wd!r}, {port}, DET_OVERRIDES)
 
 from triplegan_tpu.train.loop import train
 summary = train(cfg, verbose=False)
@@ -288,61 +347,24 @@ def test_two_process_trajectory_equals_single_device(tmp_path):
     deterministic config trained on a real 2-process cluster (host-pipeline
     path, identically-seeded samplers → same global batches) must produce
     the SAME parameters as the same config trained single-device in this
-    process. Tolerances as in test_parallel (Adam under f32 reduction-order
+    process. Both sides build from the shared DET_OVERRIDES, so they cannot
+    drift. Tolerances as in test_parallel (Adam under f32 reduction-order
     noise)."""
     port = 16300 + (os.getpid() % 1000)
     wd = str(tmp_path / "det2p")
     out_npz = str(tmp_path / "det2p_params.npz")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    env.pop("XLA_FLAGS", None)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    script = _SUBPROCESS_2PROC_DET.format(wd=wd, port=port, out=out_npz)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", script, str(pid)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            env=env, cwd=repo,
-        )
-        for pid in (0, 1)
-    ]
-    outs = [p.communicate(timeout=560) for p in procs]
-    for p, (out, err) in zip(procs, outs):
-        assert p.returncode == 0, err[-3000:]
+    outs = _run_2proc(
+        _SUBPROCESS_2PROC_DET.format(wd=wd, port=port, out=out_npz),
+        [], str(tmp_path),
+    )
+    for out in outs:
         assert "DET2P_OK" in out
 
-    # single-device reference, in-process (same cfg minus the cluster)
+    # single-device reference, in-process — same overrides, no cluster
     from triplegan_tpu.configs.base import base_config
     from triplegan_tpu.train.loop import train
 
-    cfg = base_config()
-    cfg.name = "det1p"
-    cfg.dataset = "synthetic"
-    cfg.image_size = 16
-    cfg.channels = 3
-    cfg.num_classes = 10
-    cfg.num_labeled = 40
-    cfg.zca = False
-    cfg.aug_translate = 0
-    cfg.aug_flip = False
-    cfg.z_dim = 16
-    cfg.gen.widths = (32, 16)
-    cfg.disc.widths = (16, 16)
-    cfg.disc.strides = (1, 2)
-    cfg.disc.input_noise = 0.0
-    cfg.disc.input_dropout = 0.0
-    cfg.disc.block_dropout = 0.0
-    cfg.clf.conv_blocks = ((8, 8), (16,))
-    cfg.clf.tail = (16, 8)
-    cfg.clf.input_noise = 0.0
-    cfg.clf.block_dropout = 0.0
-    cfg.pseudo_label_mode = "argmax"
-    cfg.batch_size = 8
-    cfg.data_on_device = False
-    cfg.epochs = 1
-    cfg.steps_per_epoch = 2
-    cfg.log_every = 0
-    cfg.eval_every_epochs = 0
-    cfg.ckpt_every_epochs = 0
+    cfg = apply_flat(base_config(), DET_OVERRIDES)
     cfg.workdir = str(tmp_path / "det1p")
     summary = train(cfg, verbose=False)
     ref_leaves = jax.tree.leaves(summary["state"].params)
@@ -356,60 +378,21 @@ def test_two_process_trajectory_equals_single_device(tmp_path):
         )
 
 
-_SUBPROCESS_2PROC_RESUME = """
-import sys
-import jax
-jax.config.update("jax_platforms", "cpu")
-pid = int(sys.argv[1])
+_SUBPROCESS_2PROC_RESUME = _CLUSTER_PRELUDE + """
 phase = sys.argv[2]  # "first" (2 epochs) or "second" (4 epochs, resumes)
 
 from triplegan_tpu.configs import get_config
 
-cfg = get_config("mnist100")
-cfg.dataset = "synthetic"
-cfg.image_size = 16
-cfg.num_labeled = 40
-cfg.z_dim = 16
-cfg.gen.widths = (32, 16)
-cfg.disc.widths = (16, 16)
-cfg.disc.strides = (1, 2)
-cfg.clf.conv_blocks = ((8, 8), (16,))
-cfg.clf.tail = (16, 8)
-cfg.batch_size = 8
-cfg.steps_per_epoch = 2
+cfg = cluster_cfg(get_config("mnist100"), {wd!r}, {port}, TINY_NET_OVERRIDES)
 cfg.epochs = 2 if phase == "first" else 4
-cfg.zca = False
-cfg.aug_translate = 0
-cfg.aug_flip = False
 cfg.log_every = 0
 cfg.eval_every_epochs = 0
 cfg.ckpt_every_epochs = 1
-cfg.workdir = {wd!r}
-cfg.multihost = True
-cfg.multihost_coordinator = "localhost:{port}"
-cfg.multihost_num_processes = 2
-cfg.multihost_process_id = pid
-cfg.mesh_shape = (2,)
 
 from triplegan_tpu.train.loop import train
 summary = train(cfg, verbose=False)
 print(f"RESUME_OK pid={{pid}} phase={{phase}} steps={{summary['steps']}}", flush=True)
 """
-
-
-def _run_2proc(script_args, env, repo, timeout=560):
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", script_args[0], str(pid), *script_args[1:]],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            env=env, cwd=repo,
-        )
-        for pid in (0, 1)
-    ]
-    outs = [p.communicate(timeout=timeout) for p in procs]
-    for p, (out, err) in zip(procs, outs):
-        assert p.returncode == 0, err[-3000:]
-    return outs
 
 
 def test_two_process_checkpoint_resume(tmp_path):
@@ -419,59 +402,27 @@ def test_two_process_checkpoint_resume(tmp_path):
     on the restored step."""
     port = 17300 + (os.getpid() % 1000)
     wd = str(tmp_path / "resume2p")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    env.pop("XLA_FLAGS", None)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    script = _SUBPROCESS_2PROC_RESUME.format(wd=wd, port=port)
 
-    outs = _run_2proc([script, "first"], env, repo)
-    assert all("steps=4" in out for out, _ in outs)
-
-    port2 = port + 1  # fresh coordinator for the second cluster
-    script2 = _SUBPROCESS_2PROC_RESUME.format(wd=wd, port=port2)
-    outs = _run_2proc([script2, "second"], env, repo)
-    assert all("steps=8" in out for out, _ in outs)
-
-
-def test_train_multihost_rejects_partial_mesh(tmp_path):
-    """Review regression: multihost=True with a mesh that does not span
-    every pod device must fail fast instead of silently running independent
-    single-host trainings against one shared checkpoint dir."""
-    port = 14300 + (os.getpid() % 1000)
-    wd = str(tmp_path / "guard")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    env.pop("XLA_FLAGS", None)  # exactly one CPU device in the child
-    out = subprocess.run(
-        [sys.executable, "-c",
-         _SUBPROCESS_MESH_GUARD.format(wd=wd, port=port)],
-        capture_output=True, text=True, timeout=300, env=env,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    outs = _run_2proc(
+        _SUBPROCESS_2PROC_RESUME.format(wd=wd, port=port), ["first"],
+        str(tmp_path),
     )
-    assert out.returncode == 0, out.stderr[-2000:]
-    assert "GUARD_OK" in out.stdout
+    assert all("steps=4" in out for out in outs)
+
+    script2 = _SUBPROCESS_2PROC_RESUME.format(wd=wd, port=port + 1)
+    outs = _run_2proc(script2, ["second"], str(tmp_path))
+    assert all("steps=8" in out for out in outs)
 
 
 _SUBPROCESS_TRAIN = """
 import jax
 jax.config.update("jax_platforms", "cpu")
+
+from tests.test_multihost import TINY_NET_OVERRIDES, apply_flat
 from triplegan_tpu.configs import get_config
 
-cfg = get_config("mnist100")
-cfg.dataset = "synthetic"
-cfg.image_size = 16
-cfg.num_labeled = 40
-cfg.z_dim = 16
-cfg.gen.widths = (32, 16)
-cfg.disc.widths = (16, 16)
-cfg.disc.strides = (1, 2)
-cfg.clf.conv_blocks = ((8, 8), (16,))
-cfg.clf.tail = (16, 8)
-cfg.batch_size = 8
-cfg.steps_per_epoch = 2
+cfg = apply_flat(get_config("mnist100"), TINY_NET_OVERRIDES)
 cfg.epochs = 1
-cfg.zca = False
-cfg.aug_translate = 0
-cfg.aug_flip = False
 cfg.log_every = 1
 cfg.workdir = {wd!r}
 cfg.multihost = True
@@ -494,15 +445,10 @@ def test_train_multihost_single_process_cluster(tmp_path):
     coordinator of a 1-process cluster)."""
     port = 13300 + (os.getpid() % 1000)
     wd = str(tmp_path / "mh")
-    env = dict(
-        os.environ,
-        JAX_PLATFORMS="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=8",
-    )
     out = subprocess.run(
         [sys.executable, "-c", _SUBPROCESS_TRAIN.format(wd=wd, port=port)],
-        capture_output=True, text=True, timeout=560, env=env,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=560,
+        env=_cluster_env(n_local_devices=8), cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "TRAIN_OK" in out.stdout

@@ -1,4 +1,11 @@
-"""Measure serving-side inference throughput of the exported fns on the real chip (see docs/DEPLOY.md §4)."""
+"""Measure serving-side inference throughput of the exported fns on the
+real chip (see docs/DEPLOY.md §4).
+
+cifar10_4k is a zca config, so the REAL exported classifier bakes in the
+3072×3072 whitening matmul — this bench fits ZCA stats (on random pixels;
+same compute as real stats) and measures that program. A no-zca variant is
+also reported so the whitening cost is visible.
+"""
 import os
 import sys
 import time
@@ -10,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from triplegan_tpu.configs import get_config
 from triplegan_tpu.configs.base import apply_runtime, make_networks
+from triplegan_tpu.data.zca import fit_zca
 from triplegan_tpu.export import make_serving_fns
 from triplegan_tpu.train.schedule import make_optimizers
 from triplegan_tpu.train.state import create_state
@@ -19,23 +27,28 @@ cfg.compute_dtype = "bfloat16"
 apply_runtime(cfg)
 nets = make_networks(cfg)
 state = create_state(cfg, nets, make_optimizers(cfg, 1))
-classify, generate = make_serving_fns(cfg, nets, state)
-cl = jax.jit(classify)
+rng = np.random.RandomState(0)
+zca = fit_zca(rng.randint(0, 256, size=(4096, 32, 32, 3)).astype(np.uint8))
+
+for label, stats in (("zca-baked (the real cifar artifact)", zca), ("no-zca", None)):
+    classify, generate = make_serving_fns(cfg, nets, state, zca_stats=stats)
+    cl = jax.jit(classify)
+    print(f"-- classify, {label} --")
+    for b in (256, 512, 1024):
+        imgs = jnp.asarray(rng.randint(0, 256, size=(b, 32, 32, 3)), jnp.uint8)
+        out = cl(imgs); float(out[0, 0])  # compile + fence
+        n_iter = 50
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = cl(imgs)
+        float(out[0, 0])  # hard fence: real device->host scalar
+        dt = time.perf_counter() - t0
+        print(f"classify b={b}: {b*n_iter/dt:,.0f} img/s  ({1e3*dt/n_iter:.3f} ms/batch)")
+
+_, generate = make_serving_fns(cfg, nets, state)
 gen = jax.jit(generate)
-
-for b in (256, 512, 1024):
-    imgs = jnp.asarray(np.random.RandomState(0).randint(0, 256, size=(b, 32, 32, 3)), jnp.uint8)
-    out = cl(imgs); float(out[0, 0])  # compile + fence
-    n_iter = 50
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = cl(imgs)
-    float(out[0, 0])  # hard fence: real device->host scalar
-    dt = time.perf_counter() - t0
-    print(f"classify b={b}: {b*n_iter/dt:,.0f} img/s  ({1e3*dt/n_iter:.3f} ms/batch)")
-
 b = 512
-z = jnp.asarray(np.random.RandomState(1).normal(size=(b, cfg.z_dim)), jnp.float32)
+z = jnp.asarray(rng.normal(size=(b, cfg.z_dim)), jnp.float32)
 y = jnp.asarray(np.arange(b) % 10, jnp.int32)
 x = gen(z, y); float(x[0, 0, 0, 0])
 t0 = time.perf_counter()

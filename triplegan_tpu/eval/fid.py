@@ -31,7 +31,10 @@ def activation_stats(
     """Mean and covariance of ``features_fn`` over ``images``, driven in
     ``batch_size`` chunks (an Inception-v3 extractor resizes to 299²×3 f32 —
     the full set at once would be multiple GB). Features are accumulated in
-    float64: FID's trace arithmetic cancels catastrophically in f32."""
+    float64: FID's trace arithmetic cancels catastrophically in f32. An
+    extractor exposing ``preferred_batch`` (fixed-serving-batch stablehlo
+    artifacts) overrides the chunk size so chunks land aligned."""
+    batch_size = int(getattr(features_fn, "preferred_batch", None) or batch_size)
     chunks = [
         np.asarray(features_fn(images[i : i + batch_size]), dtype=np.float64)
         for i in range(0, images.shape[0], batch_size)

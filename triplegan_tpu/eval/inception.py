@@ -28,7 +28,10 @@ def inception_score(
     """Mean ± std of the score over `n_splits` disjoint splits (the standard
     Salimans et al. protocol). The scorer is driven in ``batch_size`` chunks
     so 5k samples never materialize one giant forward (an Inception-v3
-    scorer resizes to 299²×3 f32 — the full set at once would be ~5 GB)."""
+    scorer resizes to 299²×3 f32 — the full set at once would be ~5 GB).
+    A scorer exposing ``preferred_batch`` (e.g. a fixed-serving-batch
+    stablehlo artifact) overrides the chunk size so chunks land aligned."""
+    batch_size = int(getattr(logits_fn, "preferred_batch", None) or batch_size)
     chunks = [
         np.asarray(
             jax.nn.softmax(logits_fn(images[i : i + batch_size]), axis=-1),
@@ -187,9 +190,16 @@ def load_scorer(
                     f"(from the artifact's serving contract), got {x.shape[1:]}"
                 )
             if x.dtype != np.uint8:
-                # callers feed the generator's raw [-1,1] space; the exported
-                # classifier's baked-in transform starts from uint8 pixels
-                x = np.clip(np.round((x + 1.0) * 127.5), 0, 255).astype(np.uint8)
+                # The exported classifier's baked-in transform starts from
+                # uint8 pixels. Float callers are in either the generator's
+                # raw [-1,1] space (rescale configs) or raw [0,255] pixel
+                # floats (rescale=False) — distinguish by range instead of
+                # silently saturating the latter.
+                if x.size and float(np.max(np.abs(x))) <= 1.0 + 1e-3:
+                    x = np.clip(np.round((x + 1.0) * 127.5), 0, 255)
+                else:
+                    x = np.clip(np.round(x), 0, 255)
+                x = x.astype(np.uint8)
             outs = []
             for i in range(0, x.shape[0], b):
                 xi = x[i : i + b]
@@ -201,6 +211,10 @@ def load_scorer(
             arr = np.concatenate(outs, axis=0)
             return jnp.asarray(_as_logits(arr, outputs, shlo_state))
 
+        # Chunk-alignment hint: inception_score/activation_stats drive
+        # scorers in fixed chunks; aligning theirs to the serving batch
+        # avoids padding every chunk when b > their default.
+        shlo_scorer.preferred_batch = b
         return shlo_scorer
 
     wts = np.load(path)
