@@ -1,0 +1,241 @@
+"""Built-in inference server (beyond-parity extra, serve.py): batching
+wrapper semantics, input validation, and the real HTTP surface end-to-end
+against a live ThreadingHTTPServer — responses must numerically match the
+in-process serving functions."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from tests.helpers import tiny_config
+from triplegan_tpu.configs.base import make_networks
+from triplegan_tpu.export import export_stablehlo, make_serving_fns
+from triplegan_tpu.serve import (
+    ServingApp,
+    app_from_artifacts,
+    app_from_state,
+    batched_apply,
+    make_server,
+)
+from triplegan_tpu.train.schedule import make_optimizers
+from triplegan_tpu.train.state import create_state
+
+
+# ---------- batched_apply ----------
+
+
+def test_batched_apply_chunks_and_pads():
+    calls = []
+
+    def fn(a):
+        calls.append(np.asarray(a).shape)
+        return np.asarray(a) * 2.0
+
+    x = np.arange(10, dtype=np.float32)[:, None]
+    out = batched_apply(fn, 4, x)
+    np.testing.assert_array_equal(out, x * 2.0)
+    # every device call sees the static batch; tail chunk padded 2→4
+    assert calls == [(4, 1), (4, 1), (4, 1)]
+
+
+def test_batched_apply_multi_arg_and_exact_fit():
+    def fn(z, y):
+        return np.asarray(z) + np.asarray(y)[:, None]
+
+    z = np.ones((8, 3), np.float32)
+    y = np.arange(8, dtype=np.float32)
+    out = batched_apply(fn, 4, z, y)
+    np.testing.assert_array_equal(out, z + y[:, None])
+
+
+def test_batched_apply_rejects_bad_batches():
+    fn = lambda a: a
+    with pytest.raises(ValueError, match="empty"):
+        batched_apply(fn, 4, np.zeros((0, 2)))
+    with pytest.raises(ValueError, match="mismatched"):
+        batched_apply(fn, 4, np.zeros((3, 2)), np.zeros((4,)))
+
+
+# ---------- app validation ----------
+
+
+def _tiny_app(**kw):
+    cfg = tiny_config()
+    nets = make_networks(cfg)
+    state = create_state(cfg, nets, make_optimizers(cfg, 1))
+    return cfg, state, nets, app_from_state(cfg, nets, state, **kw)
+
+
+def test_app_validates_inputs():
+    cfg, _, _, app = _tiny_app()
+    with pytest.raises(ValueError, match="uint8"):
+        app.do_classify(np.zeros((2, 16, 16, 3), np.float32))
+    with pytest.raises(ValueError, match=r"\[N,H,W,C\]"):
+        app.do_classify(np.zeros((16, 16, 3), np.uint8))
+    with pytest.raises(ValueError, match="images must be"):
+        app.do_classify(np.zeros((2, 8, 8, 3), np.uint8))  # wrong H/W
+    with pytest.raises(ValueError, match="z must be"):
+        app.do_generate(np.zeros((2, 7), np.float32), np.zeros((2,), np.int32))
+    with pytest.raises(ValueError, match="labels"):
+        app.do_generate(
+            np.zeros((2, cfg.z_dim), np.float32), np.asarray([0, 99], np.int32)
+        )
+    with pytest.raises(ValueError, match='"n" or a "y"'):
+        app.generate_from_json({})
+
+
+def test_app_requires_at_least_one_fn():
+    with pytest.raises(ValueError, match="nothing to serve"):
+        ServingApp()
+
+
+# ---------- live HTTP round-trip ----------
+
+
+@pytest.fixture(scope="module")
+def live_server():
+    cfg = tiny_config()
+    nets = make_networks(cfg)
+    state = create_state(cfg, nets, make_optimizers(cfg, 1))
+    classify, generate = make_serving_fns(cfg, nets, state)
+    app = app_from_state(cfg, nets, state, batch_size=4, meta={"source": "test"})
+    server = make_server(app, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = "http://127.0.0.1:%d" % server.server_address[1]
+    yield cfg, classify, generate, app, base
+    server.shutdown()
+    t.join(timeout=10)
+
+
+def _post(url, body, ctype):
+    req = urllib.request.Request(url, data=body, headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def _npy(arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def test_http_healthz(live_server):
+    cfg, _, _, _, base = live_server
+    with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+        h = json.loads(r.read().decode())
+    assert h["status"] == "ok"
+    assert sorted(h["endpoints"]) == ["classify", "generate"]
+    assert h["classify_batch"] == 4 and h["z_dim"] == cfg.z_dim
+    assert h["image_shape"] == [16, 16, 3]
+    assert h["source"] == "test"
+
+
+def test_http_classify_matches_direct(live_server):
+    cfg, classify, _, _, base = live_server
+    imgs = np.random.RandomState(0).randint(
+        0, 256, size=(7, 16, 16, 3)  # 7: forces chunk (4) + padded tail (3)
+    ).astype(np.uint8)
+    status, ctype, body = _post(base + "/classify", _npy(imgs), "application/x-npy")
+    assert status == 200 and ctype == "application/x-npy"
+    got = np.load(io.BytesIO(body))
+    want = np.asarray(jax.jit(classify)(imgs[:4]))
+    np.testing.assert_allclose(got[:4], want, rtol=1e-5, atol=1e-5)
+    assert got.shape == (7, cfg.num_classes) and got.dtype == np.float32
+
+
+def test_http_generate_json_deterministic_seed(live_server):
+    cfg, _, generate, _, base = live_server
+    req = json.dumps({"n": 5, "seed": 7}).encode()
+    _, _, b1 = _post(base + "/generate", req, "application/json")
+    _, _, b2 = _post(base + "/generate", req, "application/json")
+    np.testing.assert_array_equal(np.load(io.BytesIO(b1)), np.load(io.BytesIO(b2)))
+    imgs = np.load(io.BytesIO(b1))
+    assert imgs.shape == (5, 16, 16, 3)
+    # default labels cycle classes, z from the seeded RNG — reproduce it
+    z = np.random.RandomState(7).normal(size=(5, cfg.z_dim)).astype(np.float32)
+    y = (np.arange(5) % cfg.num_classes).astype(np.int32)
+    want = np.asarray(jax.jit(generate)(z[:4], y[:4]))
+    np.testing.assert_allclose(imgs[:4], want, rtol=1e-5, atol=1e-5)
+
+
+def test_http_generate_npz_and_pixels(live_server):
+    cfg, _, generate, _, base = live_server
+    rng = np.random.RandomState(3)
+    z = rng.normal(size=(4, cfg.z_dim)).astype(np.float32)
+    y = (np.arange(4) % cfg.num_classes).astype(np.int32)
+    buf = io.BytesIO()
+    np.savez(buf, z=z, y=y)
+    status, _, body = _post(base + "/generate", buf.getvalue(), "application/x-npz")
+    assert status == 200
+    got = np.load(io.BytesIO(body))
+    np.testing.assert_allclose(
+        got, np.asarray(jax.jit(generate)(z, y)), rtol=1e-5, atol=1e-5
+    )
+    # JSON pixels=true → uint8
+    req = json.dumps({"n": 3, "pixels": True}).encode()
+    _, _, body = _post(base + "/generate", req, "application/json")
+    assert np.load(io.BytesIO(body)).dtype == np.uint8
+
+
+def test_http_errors_are_json_and_survivable(live_server):
+    *_, app, base = live_server
+    # bad dtype → 400 with a JSON error, server keeps serving
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/classify", _npy(np.zeros((2, 16, 16, 3), np.float32)),
+              "application/x-npy")
+    assert ei.value.code == 400
+    assert "uint8" in json.loads(ei.value.read().decode())["error"]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/nope", b"{}", "application/json")
+    assert ei.value.code == 404
+    # still alive
+    with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+        assert json.loads(r.read().decode())["status"] == "ok"
+    assert app.counters["errors"] >= 1
+
+
+# ---------- serving exported .stablehlo artifacts ----------
+
+
+def test_app_from_artifacts_matches_state_serving(tmp_path):
+    cfg = tiny_config()
+    nets = make_networks(cfg)
+    state = create_state(cfg, nets, make_optimizers(cfg, 1))
+    classify, generate = make_serving_fns(cfg, nets, state)
+    img_spec = jax.ShapeDtypeStruct((4, 16, 16, 3), np.uint8)
+    z_spec = jax.ShapeDtypeStruct((4, cfg.z_dim), np.float32)
+    y_spec = jax.ShapeDtypeStruct((4,), np.int32)
+    cpath = export_stablehlo(classify, (img_spec,), str(tmp_path / "c.stablehlo"))
+    gpath = export_stablehlo(generate, (z_spec, y_spec), str(tmp_path / "g.stablehlo"))
+
+    app = app_from_artifacts(classifier_path=cpath, generator_path=gpath)
+    # shapes recovered from the artifacts' in_avals, no config involved
+    assert app.classify_batch == 4 and app.generate_batch == 4
+    assert app.image_shape == (16, 16, 3) and app.z_dim == cfg.z_dim
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, size=(6, 16, 16, 3)).astype(np.uint8)
+    got = app.do_classify(imgs)
+    want4 = np.asarray(jax.jit(classify)(imgs[:4]))
+    np.testing.assert_allclose(got[:4], want4, rtol=1e-5, atol=1e-5)
+
+    z = rng.normal(size=(4, cfg.z_dim)).astype(np.float32)
+    y = (np.arange(4) % cfg.num_classes).astype(np.int32)
+    np.testing.assert_allclose(
+        app.do_generate(z, y), np.asarray(jax.jit(generate)(z, y)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_cli_serve_requires_a_source():
+    from triplegan_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["serve", "--port", "0"])

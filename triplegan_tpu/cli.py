@@ -6,6 +6,7 @@ scripts, SURVEY.md §2.1 #1/#10/#11):
     python -m triplegan_tpu.cli sample  --config cifar10_4k --workdir ... --out grid.png
     python -m triplegan_tpu.cli fid     --config cifar10_4k --workdir ...
     python -m triplegan_tpu.cli export  --config cifar10_4k --workdir ...
+    python -m triplegan_tpu.cli serve   --config cifar10_4k --workdir ... --port 8000
     python -m triplegan_tpu.cli prepare --dataset cifar10 --raw-dir ... --data-dir ...
 
 Overrides: ``--set key=value`` (repeatable) mutates any config field, e.g.
@@ -375,6 +376,54 @@ def cmd_export(args):
         print(f"exported: {path}")
 
 
+def cmd_serve(args):
+    """Serve inference over HTTP (beyond-parity extra — see serve.py):
+    either restore a trained run dir and serve its classifier+generator, or
+    serve exported .stablehlo artifacts directly (no config needed)."""
+    from triplegan_tpu.serve import app_from_artifacts, app_from_state, make_server
+
+    if args.classifier or args.generator:
+        app = app_from_artifacts(
+            classifier_path=args.classifier,
+            generator_path=args.generator,
+            meta={"source": "stablehlo"},
+        )
+    elif args.config:
+        from triplegan_tpu.ckpt import CheckpointManager
+        from triplegan_tpu.configs.base import apply_runtime, make_networks
+        from triplegan_tpu.train.schedule import make_optimizers
+        from triplegan_tpu.train.state import create_state
+
+        cfg = apply_runtime(_load_cfg(args))
+        workdir = os.path.join(cfg.workdir, cfg.name)
+        nets = make_networks(cfg)
+        state = create_state(cfg, nets, make_optimizers(cfg, 1))
+        ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), write=False)
+        restored = _restore_at(ckpt, state, args, workdir)
+        app = app_from_state(
+            cfg,
+            nets,
+            restored,
+            zca_stats=_load_zca(cfg, workdir),
+            batch_size=args.batch_size,
+            meta={"source": "checkpoint", "config": cfg.name,
+                  "step": int(restored.step)},
+        )
+    else:
+        sys.exit("serve needs --config (run dir) or --classifier/--generator "
+                 "(.stablehlo artifacts)")
+
+    server = make_server(app, host=args.host, port=args.port)
+    host, port = server.server_address[:2]
+    print(f"serving on http://{host}:{port}  "
+          f"(endpoints: {', '.join(app.health()['endpoints'])}; GET /healthz)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down")
+        server.shutdown()
+
+
 def cmd_prepare(args):
     from triplegan_tpu.data.prepare import prepare
 
@@ -476,6 +525,26 @@ def main(argv=None):
     sp.add_argument("--batch-size", type=int, default=None,
                     help="static serving batch size (default: cfg.batch_size)")
     sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("serve", help="HTTP inference server (checkpoint or "
+                                      ".stablehlo artifacts)")
+    sp.add_argument("--config", default=None,
+                    help="serve a trained run dir's classifier+generator")
+    sp.add_argument("--workdir", default=None)
+    sp.add_argument("--data-dir", default=None)
+    sp.add_argument("--set", action="append", metavar="KEY=VALUE")
+    step_arg(sp)
+    sp.add_argument("--classifier", default=None,
+                    help="exported classifier .stablehlo to serve directly")
+    sp.add_argument("--generator", default=None,
+                    help="exported generator .stablehlo to serve directly")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8000,
+                    help="0 binds an ephemeral port (printed at startup)")
+    sp.add_argument("--batch-size", type=int, default=None,
+                    help="static serving batch (checkpoint source only; "
+                         "default cfg.batch_size; requests are chunked+padded)")
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("prepare", help="convert raw dataset files to npz shards")
     sp.add_argument("--dataset", required=True)

@@ -1,0 +1,297 @@
+"""Built-in inference HTTP server: serve a trained run (or exported
+StableHLO artifacts) with zero external dependencies.
+
+Beyond-parity extra (the reference stops at eval scripts, [ref-expected]
+``Testing/`` — SURVEY.md §2.1 #11): ``export.py`` produces deployable
+artifacts; this module is the matching minimal runtime so a model can be
+served on a TPU VM with nothing but the framework and the Python stdlib:
+
+    python -m triplegan_tpu.cli serve --config cifar10_4k --workdir runs/c4k
+    python -m triplegan_tpu.cli serve --classifier export/classifier.stablehlo
+
+Protocol (stdlib ``http.server``; one compiled program per endpoint):
+
+  * ``GET /healthz`` → JSON: status, backend, endpoints, serving batch
+    sizes, request counters.
+  * ``POST /classify`` — body is an ``.npy`` of uint8 NHWC images (any
+    leading batch size); response is an ``.npy`` of float32 logits
+    ``[N, num_classes]``. The training-time input transform is baked into
+    the served function (see :func:`export.make_serving_fns`).
+  * ``POST /generate`` — either JSON ``{"n": int, "y": [labels]?,
+    "seed": int?}`` (the server draws z) or an ``.npz`` body with explicit
+    ``z``/``y`` arrays; response is an ``.npy`` of images. JSON requests
+    can add ``"pixels": true`` for uint8 pixel output instead of the raw
+    [-1, 1] space.
+
+The compiled functions have a static batch size (production-typical — see
+export.py); requests of any size are served by chunking and padding to the
+compiled shape, so callers never see the static-shape constraint. One
+device executes the work: a lock serializes device calls while the
+threaded server keeps accepting connections.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional
+
+import numpy as np
+
+
+def batched_apply(fn: Callable, batch: int, *arrays: np.ndarray) -> np.ndarray:
+    """Run ``fn`` (compiled at static batch ``batch``) over ``arrays`` of
+    any common leading size: chunk, pad the tail chunk by repeating its
+    last row (values are discarded — only shapes must match), concatenate
+    the un-padded outputs."""
+    n = int(arrays[0].shape[0])
+    if n == 0:
+        raise ValueError("empty batch")
+    if any(int(a.shape[0]) != n for a in arrays):
+        raise ValueError("mismatched leading dimensions")
+    outs = []
+    for i in range(0, n, batch):
+        chunk = [a[i : i + batch] for a in arrays]
+        m = int(chunk[0].shape[0])
+        if m < batch:
+            chunk = [
+                np.concatenate([c, np.repeat(c[-1:], batch - m, axis=0)])
+                for c in chunk
+            ]
+        out = np.asarray(fn(*chunk))
+        outs.append(out[:m])
+    return np.concatenate(outs) if len(outs) > 1 else outs[0]
+
+
+class ServingApp:
+    """The servable state behind the HTTP handler: compiled functions,
+    their static batch sizes, input contracts, and a device lock."""
+
+    def __init__(
+        self,
+        classify: Optional[Callable] = None,
+        generate: Optional[Callable] = None,
+        *,
+        classify_batch: int = 0,
+        generate_batch: int = 0,
+        image_shape: Optional[tuple] = None,  # (H, W, C) for /classify
+        z_dim: int = 0,
+        num_classes: int = 0,
+        meta: Optional[dict] = None,
+    ):
+        if classify is None and generate is None:
+            raise ValueError("nothing to serve: no classify or generate fn")
+        self.classify = classify
+        self.generate = generate
+        self.classify_batch = classify_batch
+        self.generate_batch = generate_batch
+        self.image_shape = tuple(image_shape) if image_shape else None
+        self.z_dim = int(z_dim)
+        self.num_classes = int(num_classes)
+        self.meta = dict(meta or {})
+        self.device_lock = threading.Lock()
+        self.counters = {"classify": 0, "generate": 0, "errors": 0}
+
+    # ---- endpoint implementations (numpy in / numpy|dict out) ----
+
+    def health(self) -> dict:
+        import jax
+
+        return {
+            "status": "ok",
+            "backend": jax.default_backend(),
+            "endpoints": [
+                e
+                for e, fn in (("classify", self.classify), ("generate", self.generate))
+                if fn is not None
+            ],
+            "classify_batch": self.classify_batch,
+            "generate_batch": self.generate_batch,
+            "image_shape": list(self.image_shape) if self.image_shape else None,
+            "z_dim": self.z_dim,
+            "num_classes": self.num_classes,
+            "requests": dict(self.counters),
+            **self.meta,
+        }
+
+    def do_classify(self, images: np.ndarray) -> np.ndarray:
+        if self.classify is None:
+            raise ValueError("this server has no classifier endpoint")
+        if images.dtype != np.uint8:
+            raise ValueError(f"images must be uint8, got {images.dtype}")
+        if images.ndim != 4:
+            raise ValueError(f"images must be [N,H,W,C], got shape {images.shape}")
+        if self.image_shape and tuple(images.shape[1:]) != self.image_shape:
+            raise ValueError(
+                f"images must be [N,{','.join(map(str, self.image_shape))}], "
+                f"got {tuple(images.shape)}"
+            )
+        with self.device_lock:
+            out = batched_apply(self.classify, self.classify_batch, images)
+        self.counters["classify"] += 1
+        return out
+
+    def do_generate(
+        self, z: np.ndarray, y: np.ndarray, pixels: bool = False
+    ) -> np.ndarray:
+        if self.generate is None:
+            raise ValueError("this server has no generator endpoint")
+        z = np.asarray(z, np.float32)
+        y = np.asarray(y, np.int32)
+        if z.ndim != 2 or (self.z_dim and z.shape[1] != self.z_dim):
+            raise ValueError(f"z must be [N,{self.z_dim or '?'}], got {z.shape}")
+        if y.shape != (z.shape[0],):
+            raise ValueError(f"y must be [N]={z.shape[0]}, got {y.shape}")
+        if self.num_classes and ((y < 0).any() or (y >= self.num_classes).any()):
+            raise ValueError(f"labels must be in [0,{self.num_classes})")
+        with self.device_lock:
+            imgs = batched_apply(self.generate, self.generate_batch, z, y)
+        self.counters["generate"] += 1
+        if pixels:  # [-1,1] → uint8, same mapping as eval/sample.py grids
+            imgs = np.clip((np.asarray(imgs, np.float32) + 1.0) * 127.5, 0, 255)
+            imgs = imgs.astype(np.uint8)
+        return imgs
+
+    def generate_from_json(self, req: dict) -> np.ndarray:
+        n = int(req.get("n", 0) or (len(req["y"]) if "y" in req else 0))
+        if n <= 0:
+            raise ValueError('JSON generate needs "n" or a "y" list')
+        if not self.z_dim:
+            raise ValueError("server does not know z_dim; POST an .npz with z")
+        rng = np.random.RandomState(int(req.get("seed", 0)))
+        z = rng.normal(size=(n, self.z_dim)).astype(np.float32)
+        if "y" in req:
+            y = np.asarray(req["y"], np.int32)
+            if y.shape != (n,):
+                raise ValueError(f'"y" must have length n={n}')
+        else:
+            k = self.num_classes or 10
+            y = (np.arange(n) % k).astype(np.int32)
+        return self.do_generate(z, y, pixels=bool(req.get("pixels", False)))
+
+
+def _npy_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, np.ascontiguousarray(arr), allow_pickle=False)
+    return buf.getvalue()
+
+
+def _load_npy(body: bytes) -> np.ndarray:
+    return np.load(io.BytesIO(body), allow_pickle=False)
+
+
+def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
+    """Build (not start) a ``ThreadingHTTPServer`` for ``app``. Callers run
+    ``server.serve_forever()`` (the CLI does) or drive it from a thread and
+    ``shutdown()`` it (tests do). ``port=0`` binds an ephemeral port —
+    read it back from ``server.server_address``."""
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet: the CLI prints its own line
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj: dict):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def _body(self) -> bytes:
+            length = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(length) if length else b""
+
+        def do_GET(self):
+            if self.path.split("?")[0] in ("/healthz", "/"):
+                self._send_json(200, app.health())
+            else:
+                self._send_json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            route = self.path.split("?")[0]
+            try:
+                if route == "/classify":
+                    out = app.do_classify(_load_npy(self._body()))
+                    self._send(200, _npy_bytes(out), "application/x-npy")
+                elif route == "/generate":
+                    body = self._body()
+                    ctype = (self.headers.get("Content-Type") or "").lower()
+                    if "json" in ctype:
+                        out = app.generate_from_json(json.loads(body.decode()))
+                    else:  # .npz with explicit z / y arrays
+                        with np.load(io.BytesIO(body), allow_pickle=False) as f:
+                            if "z" not in f or "y" not in f:
+                                raise ValueError(".npz body must contain z and y")
+                            out = app.do_generate(f["z"], f["y"])
+                    self._send(200, _npy_bytes(out), "application/x-npy")
+                else:
+                    self._send_json(404, {"error": f"no route {route}"})
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                app.counters["errors"] += 1
+                self._send_json(400, {"error": str(e)})
+            except Exception as e:  # device/runtime failure: report, keep serving
+                app.counters["errors"] += 1
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+# ---- builders for the two serving sources ----
+
+
+def app_from_state(cfg, nets, state, zca_stats=None, batch_size: int = 0, meta=None):
+    """Serve directly from an in-memory restored state: jit the
+    :func:`export.make_serving_fns` pair at a static batch size."""
+    import jax
+
+    from triplegan_tpu.export import make_serving_fns
+
+    b = int(batch_size or cfg.batch_size)
+    classify, generate = make_serving_fns(cfg, nets, state, zca_stats=zca_stats)
+    return ServingApp(
+        classify=jax.jit(classify),
+        generate=jax.jit(generate),
+        classify_batch=b,
+        generate_batch=b,
+        image_shape=(cfg.image_size, cfg.image_size, cfg.channels),
+        z_dim=cfg.z_dim,
+        num_classes=cfg.num_classes,
+        meta=meta,
+    )
+
+
+def app_from_artifacts(
+    classifier_path: Optional[str] = None,
+    generator_path: Optional[str] = None,
+    meta=None,
+):
+    """Serve exported ``.stablehlo`` artifacts (export.py): the serving
+    shapes, dtypes, and batch sizes come from the artifacts' own
+    ``in_avals`` — no config needed."""
+    from triplegan_tpu.export import load_stablehlo_exported
+
+    kw = dict(meta=meta)
+    if classifier_path:
+        exp = load_stablehlo_exported(classifier_path)
+        (aval,) = exp.in_avals
+        kw.update(
+            classify=exp.call,
+            classify_batch=int(aval.shape[0]),
+            image_shape=tuple(int(d) for d in aval.shape[1:]),
+        )
+    if generator_path:
+        exp = load_stablehlo_exported(generator_path)
+        z_aval, _ = exp.in_avals
+        kw.update(
+            generate=exp.call,
+            generate_batch=int(z_aval.shape[0]),
+            z_dim=int(z_aval.shape[1]),
+        )
+    return ServingApp(**kw)
