@@ -57,3 +57,45 @@ for _ in range(30):
 float(x[0, 0, 0, 0])
 dt = time.perf_counter() - t0
 print(f"generate b={b}: {b*30/dt:,.0f} img/s  ({1e3*dt/30:.3f} ms/batch)")
+
+# --http: the same classify program through the built-in HTTP server
+# (serve.py) — measures the end-to-end serving overhead (npy
+# serialization + HTTP + chunk/pad) on top of the raw device call.
+if "--http" in sys.argv:
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from triplegan_tpu.serve import app_from_state, make_server
+
+    for bsz in (256, 512):
+        app = app_from_state(cfg, nets, state, zca_stats=zca, batch_size=bsz)
+        server = make_server(app, port=0)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        url = "http://127.0.0.1:%d/classify" % server.server_address[1]
+        imgs = rng.randint(0, 256, size=(bsz, 32, 32, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, imgs)
+        body = buf.getvalue()
+
+        def call():
+            req = urllib.request.Request(
+                url, data=body, headers={"Content-Type": "application/x-npy"}
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return np.load(io.BytesIO(r.read()))
+
+        call()  # compile + warm
+        n_iter = 50
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = call()
+        dt = time.perf_counter() - t0  # response body IS host-side: no fence needed
+        print(
+            f"classify-over-HTTP b={bsz} (zca-baked): {bsz*n_iter/dt:,.0f} img/s  "
+            f"({1e3*dt/n_iter:.3f} ms/req incl. serialization)"
+        )
+        server.shutdown()
+        t.join(timeout=10)
