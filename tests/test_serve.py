@@ -201,6 +201,48 @@ def test_http_errors_are_json_and_survivable(live_server):
     assert app.counters["errors"] >= 1
 
 
+def test_http_concurrent_requests_serialize_on_device_lock(live_server):
+    """Four clients at once: the threaded accept loop + device lock must
+    yield four correct, independent responses (no interleaving corruption)."""
+    cfg, classify, _, _, base = live_server
+    rng = np.random.RandomState(11)
+    batches = [
+        rng.randint(0, 256, size=(5, 16, 16, 3)).astype(np.uint8) for _ in range(4)
+    ]
+    results = [None] * 4
+    errors = []
+
+    def worker(i):
+        try:
+            _, _, body = _post(
+                base + "/classify", _npy(batches[i]), "application/x-npy"
+            )
+            results[i] = np.load(io.BytesIO(body))
+        except Exception as e:  # surface in the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    jfn = jax.jit(classify)  # eval-mode classifier: per-sample independent
+    for i in range(4):
+        want = np.asarray(jfn(batches[i]))
+        np.testing.assert_allclose(results[i], want, rtol=1e-5, atol=1e-5)
+
+
+def test_npz_posted_to_classify_is_a_400(live_server):
+    *_, base = live_server
+    buf = io.BytesIO()
+    np.savez(buf, z=np.zeros((2, 2)))
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/classify", buf.getvalue(), "application/x-npy")
+    assert ei.value.code == 400
+    assert "single .npy array" in json.loads(ei.value.read().decode())["error"]
+
+
 # ---------- serving exported .stablehlo artifacts ----------
 
 

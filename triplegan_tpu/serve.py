@@ -179,7 +179,10 @@ def _npy_bytes(arr: np.ndarray) -> bytes:
 
 
 def _load_npy(body: bytes) -> np.ndarray:
-    return np.load(io.BytesIO(body), allow_pickle=False)
+    arr = np.load(io.BytesIO(body), allow_pickle=False)
+    if not isinstance(arr, np.ndarray):  # e.g. an .npz posted to /classify
+        raise ValueError("body must be a single .npy array")
+    return arr
 
 
 def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
@@ -240,7 +243,9 @@ def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
                 app.counters["errors"] += 1
                 self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.daemon_threads = True  # shutdown() must not wait on live requests
+    return server
 
 
 # ---- builders for the two serving sources ----
