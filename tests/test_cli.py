@@ -206,3 +206,31 @@ def test_cli_eval_specific_step(trained_workdir, capsys):
     with pytest.raises(SystemExit, match="no checkpoint for step 99"):
         main(["eval", "--config", "mnist100", "--workdir", trained_workdir,
               "--step", "99", *TINY])
+
+
+def test_cli_eval_artifact_qualification(trained_workdir, capsys):
+    """eval --artifact scores the test set through an exported classifier
+    .stablehlo; the artifact must reproduce the checkpoint's test error
+    exactly (same params, same baked-in transform — deploy qualification)."""
+    main(["eval", "--config", "mnist100", "--workdir", trained_workdir, *TINY])
+    want = capsys.readouterr().out.strip().split("test error:")[1]
+
+    out_dir = os.path.join(trained_workdir, "mnist100", "export")
+    main(["export", "--config", "mnist100", "--workdir", trained_workdir,
+          "--what", "classifier", "--batch-size", "8", *TINY])
+    capsys.readouterr()
+    artifact = os.path.join(out_dir, "classify.stablehlo")
+    assert os.path.exists(artifact)
+    main(["eval", "--config", "mnist100", "--workdir", trained_workdir,
+          "--artifact", artifact, *TINY])
+    got = capsys.readouterr().out
+    assert "test error (artifact):" in got
+    assert got.strip().split("test error (artifact):")[1] == want
+
+    # a generator artifact (2 inputs) → clean exit, not an unpack crash
+    main(["export", "--config", "mnist100", "--workdir", trained_workdir,
+          "--what", "generator", "--batch-size", "8", *TINY])
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="not a classifier artifact"):
+        main(["eval", "--config", "mnist100", "--workdir", trained_workdir,
+              "--artifact", os.path.join(out_dir, "generate.stablehlo"), *TINY])

@@ -108,6 +108,32 @@ def cmd_eval(args):
     cfg = apply_runtime(_load_cfg(args))
     workdir = os.path.join(cfg.workdir, cfg.name)
     data = _resolve_data(cfg)
+    if getattr(args, "artifact", None):
+        # Artifact qualification: score the test set through an exported
+        # classifier .stablehlo (input transform baked in — raw uint8 goes
+        # straight in), so a deployment can verify the artifact reproduces
+        # the checkpoint's test error before shipping it. No checkpoint or
+        # ZCA refit involved — the artifact is self-contained.
+        from triplegan_tpu.export import load_stablehlo_exported
+        from triplegan_tpu.serve import batched_apply
+
+        exp = load_stablehlo_exported(args.artifact)
+        if len(exp.in_avals) != 1:
+            sys.exit(
+                f"{args.artifact} is not a classifier artifact (it takes "
+                f"{len(exp.in_avals)} inputs; a classifier takes 1: uint8 images)"
+            )
+        (aval,) = exp.in_avals
+        x, y = data.x_test, data.y_test
+        if tuple(aval.shape[1:]) != tuple(x.shape[1:]):
+            sys.exit(
+                f"artifact expects images {tuple(aval.shape[1:])}, test set "
+                f"has {tuple(x.shape[1:])}"
+            )
+        logits = batched_apply(exp.call, int(aval.shape[0]), x)
+        err = float((np.argmax(logits, axis=-1) != y).mean())
+        print(f"test error (artifact): {100 * err:.2f}%")
+        return
     zca = _resolve_zca(cfg, data, workdir)
     nets = make_networks(cfg)
     state = create_state(cfg, nets, make_optimizers(cfg, 1))
@@ -455,6 +481,12 @@ def main(argv=None):
     sp = sub.add_parser("eval", help="classifier test error from a checkpoint")
     common(sp)
     step_arg(sp)
+    sp.add_argument(
+        "--artifact", default=None,
+        help="qualify an exported classifier .stablehlo instead: score the "
+             "test set through the artifact (uint8 in, transform baked in) "
+             "and report its test error — must match the checkpoint's",
+    )
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("sample", help="class-conditional sample grid")
