@@ -111,6 +111,7 @@ def live_server():
     base = "http://127.0.0.1:%d" % server.server_address[1]
     yield cfg, classify, generate, app, base
     server.shutdown()
+    server.server_close()
     t.join(timeout=10)
 
 
@@ -241,6 +242,99 @@ def test_npz_posted_to_classify_is_a_400(live_server):
         _post(base + "/classify", buf.getvalue(), "application/x-npy")
     assert ei.value.code == 400
     assert "single .npy array" in json.loads(ei.value.read().decode())["error"]
+
+
+def test_http_keepalive_survives_404_with_body(live_server):
+    """Review regression: a POST to an unknown route must drain its body —
+    otherwise the unread bytes are parsed as the next request line on the
+    keep-alive connection (observed: '501 Unsupported method')."""
+    import socket
+
+    *_, base = live_server
+    host, port = base.rsplit("//", 1)[1].split(":")
+    with socket.create_connection((host, int(port)), timeout=60) as s:
+        body = b"X" * 10
+        req = (
+            f"POST /nope HTTP/1.1\r\nHost: {host}\r\n"
+            f"Content-Length: {len(body)}\r\nContent-Type: application/json\r\n\r\n"
+        ).encode() + body
+        # pipeline a second request on the same connection
+        req += f"GET /healthz HTTP/1.1\r\nHost: {host}\r\n\r\n".encode()
+        s.sendall(req)
+        s.settimeout(60)
+        data = b""
+        while b'"status": "ok"' not in data:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            data = data + chunk
+    assert data.startswith(b"HTTP/1.1 404")
+    assert b"501" not in data and b"Unsupported method" not in data
+    assert b'"status": "ok"' in data  # the pipelined healthz got served
+
+
+def test_http_oversize_content_length_rejected_without_buffering(live_server):
+    """Review regression: a hostile Content-Length must 400 BEFORE the
+    server tries to buffer it (no multi-GB rfile.read)."""
+    import socket
+
+    from triplegan_tpu.serve import MAX_BODY_BYTES
+
+    *_, base = live_server
+    host, port = base.rsplit("//", 1)[1].split(":")
+    for bad in (str(MAX_BODY_BYTES + 1), "-1", "zzz"):
+        with socket.create_connection((host, int(port)), timeout=60) as s:
+            s.sendall(
+                (
+                    f"POST /classify HTTP/1.1\r\nHost: {host}\r\n"
+                    f"Content-Length: {bad}\r\n\r\n"
+                ).encode()
+            )
+            s.settimeout(60)
+            data = s.recv(65536)
+        assert data.startswith(b"HTTP/1.1 400"), (bad, data[:80])
+
+
+def test_generate_json_needs_labels_when_num_classes_unknown():
+    """Review regression: an artifact-served generator (num_classes
+    unknown) must refuse label-free JSON generates instead of silently
+    cycling 10 classes that may not exist."""
+    app = ServingApp(
+        generate=lambda z, y: np.zeros((z.shape[0], 4, 4, 1), np.float32),
+        generate_batch=4,
+        z_dim=8,
+        num_classes=0,
+    )
+    with pytest.raises(ValueError, match="num_classes"):
+        app.generate_from_json({"n": 4})
+    out = app.generate_from_json({"n": 4, "y": [0, 1, 2, 3]})  # explicit y ok
+    assert out.shape == (4, 4, 4, 1)
+
+
+def test_app_from_artifacts_rejects_wrong_artifact_kind(tmp_path):
+    """Review regression: a generator artifact passed as --classifier (or
+    vice versa) must fail with a clear message, not a tuple-unpack crash."""
+    cfg = tiny_config()
+    nets = make_networks(cfg)
+    state = create_state(cfg, nets, make_optimizers(cfg, 1))
+    classify, generate = make_serving_fns(cfg, nets, state)
+    img_spec = jax.ShapeDtypeStruct((4, 16, 16, 3), np.uint8)
+    z_spec = jax.ShapeDtypeStruct((4, cfg.z_dim), np.float32)
+    y_spec = jax.ShapeDtypeStruct((4,), np.int32)
+    cpath = export_stablehlo(classify, (img_spec,), str(tmp_path / "c.stablehlo"))
+    gpath = export_stablehlo(generate, (z_spec, y_spec), str(tmp_path / "g.stablehlo"))
+    with pytest.raises(ValueError, match="not a classifier artifact"):
+        app_from_artifacts(classifier_path=gpath)
+    with pytest.raises(ValueError, match="not a generator artifact"):
+        app_from_artifacts(generator_path=cpath)
+
+
+def test_cli_serve_rejects_both_sources(tmp_path):
+    from triplegan_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="ONE source"):
+        main(["serve", "--config", "mnist100", "--workdir", str(tmp_path),
+              "--classifier", str(tmp_path / "c.stablehlo")])
 
 
 # ---------- serving exported .stablehlo artifacts ----------

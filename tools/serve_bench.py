@@ -98,4 +98,5 @@ if "--http" in sys.argv:
             f"({1e3*dt/n_iter:.3f} ms/req incl. serialization)"
         )
         server.shutdown()
+        server.server_close()  # release the listening socket
         t.join(timeout=10)

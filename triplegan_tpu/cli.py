@@ -408,6 +408,11 @@ def cmd_serve(args):
     serve exported .stablehlo artifacts directly (no config needed)."""
     from triplegan_tpu.serve import app_from_artifacts, app_from_state, make_server
 
+    if (args.classifier or args.generator) and args.config:
+        sys.exit(
+            "serve takes ONE source: --config (checkpoint run dir) or "
+            "--classifier/--generator (.stablehlo artifacts), not both"
+        )
     if args.classifier or args.generator:
         app = app_from_artifacts(
             classifier_path=args.classifier,

@@ -40,6 +40,12 @@ from typing import Callable, Optional
 
 import numpy as np
 
+# Reject request bodies above this BEFORE buffering them (a hostile or
+# broken Content-Length must not OOM the serving VM). 256 MiB covers a
+# 90k-image uint8 CIFAR batch; raise via ServingApp if a deployment needs
+# larger single requests.
+MAX_BODY_BYTES = 256 * 1024 * 1024
+
 
 def batched_apply(fn: Callable, batch: int, *arrays: np.ndarray) -> np.ndarray:
     """Run ``fn`` (compiled at static batch ``batch``) over ``arrays`` of
@@ -93,12 +99,19 @@ class ServingApp:
         self.meta = dict(meta or {})
         self.device_lock = threading.Lock()
         self.counters = {"classify": 0, "generate": 0, "errors": 0}
+        self._counter_lock = threading.Lock()  # handler threads race on +=
+
+    def count(self, key: str):
+        with self._counter_lock:
+            self.counters[key] += 1
 
     # ---- endpoint implementations (numpy in / numpy|dict out) ----
 
     def health(self) -> dict:
         import jax
 
+        with self._counter_lock:
+            requests = dict(self.counters)
         return {
             "status": "ok",
             "backend": jax.default_backend(),
@@ -112,7 +125,7 @@ class ServingApp:
             "image_shape": list(self.image_shape) if self.image_shape else None,
             "z_dim": self.z_dim,
             "num_classes": self.num_classes,
-            "requests": dict(self.counters),
+            "requests": requests,
             **self.meta,
         }
 
@@ -130,7 +143,7 @@ class ServingApp:
             )
         with self.device_lock:
             out = batched_apply(self.classify, self.classify_batch, images)
-        self.counters["classify"] += 1
+        self.count("classify")
         return out
 
     def do_generate(
@@ -148,7 +161,7 @@ class ServingApp:
             raise ValueError(f"labels must be in [0,{self.num_classes})")
         with self.device_lock:
             imgs = batched_apply(self.generate, self.generate_batch, z, y)
-        self.counters["generate"] += 1
+        self.count("generate")
         if pixels:  # [-1,1] → uint8, same mapping as eval/sample.py grids
             imgs = np.clip((np.asarray(imgs, np.float32) + 1.0) * 127.5, 0, 255)
             imgs = imgs.astype(np.uint8)
@@ -166,9 +179,12 @@ class ServingApp:
             y = np.asarray(req["y"], np.int32)
             if y.shape != (n,):
                 raise ValueError(f'"y" must have length n={n}')
-        else:
-            k = self.num_classes or 10
-            y = (np.arange(n) % k).astype(np.int32)
+        elif self.num_classes:
+            y = (np.arange(n) % self.num_classes).astype(np.int32)
+        else:  # artifact-served generator: no class count to cycle over
+            raise ValueError(
+                'server does not know num_classes; provide an explicit "y" list'
+            )
         return self.do_generate(z, y, pixels=bool(req.get("pixels", False)))
 
 
@@ -208,7 +224,22 @@ def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
             self._send(code, json.dumps(obj).encode(), "application/json")
 
         def _body(self) -> bytes:
-            length = int(self.headers.get("Content-Length", 0))
+            """Read the request body — ALWAYS, even on error routes: an
+            unread body under HTTP/1.1 keep-alive is parsed as the next
+            request line, corrupting the connection."""
+            if "chunked" in (self.headers.get("Transfer-Encoding") or "").lower():
+                raise ValueError("chunked transfer-encoding is not supported")
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                raise ValueError("malformed Content-Length")
+            if length < 0:
+                raise ValueError("malformed Content-Length")
+            if length > MAX_BODY_BYTES:  # cap BEFORE buffering, not after
+                raise ValueError(
+                    f"request body {length} bytes exceeds the "
+                    f"{MAX_BODY_BYTES}-byte limit"
+                )
             return self.rfile.read(length) if length else b""
 
         def do_GET(self):
@@ -220,11 +251,11 @@ def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
         def do_POST(self):
             route = self.path.split("?")[0]
             try:
+                body = self._body()  # drain first: keep-alive correctness
                 if route == "/classify":
-                    out = app.do_classify(_load_npy(self._body()))
+                    out = app.do_classify(_load_npy(body))
                     self._send(200, _npy_bytes(out), "application/x-npy")
                 elif route == "/generate":
-                    body = self._body()
                     ctype = (self.headers.get("Content-Type") or "").lower()
                     if "json" in ctype:
                         out = app.generate_from_json(json.loads(body.decode()))
@@ -237,10 +268,11 @@ def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
                 else:
                     self._send_json(404, {"error": f"no route {route}"})
             except (ValueError, KeyError, json.JSONDecodeError) as e:
-                app.counters["errors"] += 1
+                app.count("errors")
                 self._send_json(400, {"error": str(e)})
+                self.close_connection = True  # body may be partly unread
             except Exception as e:  # device/runtime failure: report, keep serving
-                app.counters["errors"] += 1
+                app.count("errors")
                 self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
 
     server = ThreadingHTTPServer((host, port), Handler)
@@ -285,6 +317,11 @@ def app_from_artifacts(
     kw = dict(meta=meta)
     if classifier_path:
         exp = load_stablehlo_exported(classifier_path)
+        if len(exp.in_avals) != 1:
+            raise ValueError(
+                f"{classifier_path} is not a classifier artifact (takes "
+                f"{len(exp.in_avals)} inputs; a classifier takes 1: uint8 images)"
+            )
         (aval,) = exp.in_avals
         kw.update(
             classify=exp.call,
@@ -293,6 +330,11 @@ def app_from_artifacts(
         )
     if generator_path:
         exp = load_stablehlo_exported(generator_path)
+        if len(exp.in_avals) != 2:
+            raise ValueError(
+                f"{generator_path} is not a generator artifact (takes "
+                f"{len(exp.in_avals)} inputs; a generator takes 2: z, y)"
+            )
         z_aval, _ = exp.in_avals
         kw.update(
             generate=exp.call,
