@@ -247,3 +247,87 @@ def test_cli_export_stablehlo_serves_trained_model(tmp_path, capsys):
     imgs = np.random.RandomState(0).randint(0, 256, size=(4, 16, 16, 1)).astype(np.uint8)
     logits = np.asarray(served_fn(imgs))
     assert logits.shape == (4, 10) and np.all(np.isfinite(logits))
+
+
+# ---------- weight-only int8 quantized export ----------
+
+
+def test_quantize_int8_roundtrip_bound():
+    """Symmetric per-output-channel PTQ: reconstruction error ≤ scale/2
+    per element; 1-D arrays (biases, BN affines) pass through untouched."""
+    from triplegan_tpu.export import QTensor, dequantize, quantize_int8
+
+    rng = np.random.RandomState(0)
+    params = {
+        "conv": {"w": rng.normal(size=(3, 3, 8, 16)).astype(np.float32),
+                 "b": rng.normal(size=(16,)).astype(np.float32)},
+        "dense": {"w": (rng.normal(size=(32, 10)) * 5).astype(np.float32)},
+    }
+    qt = quantize_int8(params)
+    assert isinstance(qt["conv"]["w"], QTensor)
+    assert qt["conv"]["w"].q.dtype == jnp.int8
+    assert qt["conv"]["w"].scale.shape == (1, 1, 1, 16)  # per-out-channel
+    assert not isinstance(qt["conv"]["b"], QTensor)  # 1-D untouched
+    deq = dequantize(qt)
+    np.testing.assert_array_equal(np.asarray(deq["conv"]["b"]), params["conv"]["b"])
+    for k in ("conv", "dense"):
+        w, scale = params[k]["w"], np.asarray(qt[k]["w"].scale)
+        err = np.abs(np.asarray(deq[k]["w"]) - w)
+        assert (err <= scale / 2 + 1e-6).all()
+    # max|w| per channel maps to ±127 exactly
+    np.testing.assert_allclose(
+        np.max(np.abs(np.asarray(qt["dense"]["w"].q)), axis=0), 127
+    )
+
+
+def test_quantized_serving_fns_close_to_f32(served):
+    """int8 weight-only serving drifts logits only slightly and keeps the
+    classifier's decisions on random inputs; generate stays in [-1,1]."""
+    from triplegan_tpu.export import make_serving_fns
+
+    cfg, nets, state, classify, generate, imgs, z, y = served
+    qclassify, qgenerate = make_serving_fns(cfg, nets, state, quantize="int8")
+    want = np.asarray(classify(jnp.asarray(imgs)))
+    got = np.asarray(qclassify(jnp.asarray(imgs)))
+    assert np.max(np.abs(got - want)) < 0.05  # fresh-init logits are O(1)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+    gq = np.asarray(qgenerate(jnp.asarray(z), jnp.asarray(y)))
+    assert np.abs(gq).max() <= 1.0 + 1e-6
+    assert np.max(np.abs(gq - np.asarray(generate(jnp.asarray(z), jnp.asarray(y))))) < 0.05
+
+
+def test_quantized_stablehlo_artifact_shrinks_and_serves(tmp_path):
+    """The traced artifact embeds int8 weight constants: materially smaller
+    than the f32 export, still loadable and close in outputs."""
+    from triplegan_tpu.export import export_artifacts, load_stablehlo
+
+    cfg = tiny_config()
+    cfg.clf.conv_blocks = ((32, 32), (64,))  # params dominate module overhead
+    cfg.clf.tail = (64, 32)
+    nets = make_networks(cfg)
+    state = create_state(cfg, nets, make_optimizers(cfg, 1))
+    (fpath,) = export_artifacts(
+        cfg, nets, state, str(tmp_path / "f"), what="classifier", batch_size=4
+    )
+    (qpath,) = export_artifacts(
+        cfg, nets, state, str(tmp_path / "q"), what="classifier",
+        batch_size=4, quantize="int8",
+    )
+    fsize, qsize = os.path.getsize(fpath), os.path.getsize(qpath)
+    assert qsize < 0.6 * fsize, (fsize, qsize)
+    imgs = np.random.RandomState(0).randint(
+        0, 256, size=(4, 16, 16, 3)
+    ).astype(np.uint8)
+    fout = np.asarray(load_stablehlo(fpath)(imgs))
+    qout = np.asarray(load_stablehlo(qpath)(imgs))
+    assert np.max(np.abs(qout - fout)) < 0.05
+
+
+def test_quantize_npz_rejected(served, tmp_path):
+    from triplegan_tpu.export import export_artifacts
+
+    cfg, nets, state, *_ = served
+    with pytest.raises(ValueError, match="npz stores the raw"):
+        export_artifacts(
+            cfg, nets, state, str(tmp_path), fmt="npz", quantize="int8"
+        )

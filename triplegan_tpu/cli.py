@@ -397,6 +397,7 @@ def cmd_export(args):
         fmt=args.format,
         batch_size=args.batch_size,
         zca_stats=_load_zca(cfg, workdir) if need_zca else None,
+        quantize=args.quantize,
     )
     for path in written:
         print(f"exported: {path}")
@@ -561,6 +562,10 @@ def main(argv=None):
                          "serving); savedmodel: TF Serving; npz: raw params")
     sp.add_argument("--batch-size", type=int, default=None,
                     help="static serving batch size (default: cfg.batch_size)")
+    sp.add_argument("--quantize", default=None, choices=("int8",),
+                    help="weight-only int8 PTQ baked into the artifact "
+                         "(per-output-channel scales; ~4x smaller; qualify "
+                         "with eval --artifact)")
     sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("serve", help="HTTP inference server (checkpoint or "

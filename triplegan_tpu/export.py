@@ -30,21 +30,65 @@ shape.
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+class QTensor(NamedTuple):
+    """A weight-only int8-quantized array: ``q * scale`` reconstructs the
+    weight. ``scale`` is per-output-channel (last axis), float32."""
+
+    q: Any
+    scale: Any
+
+
+def quantize_int8(params):
+    """Weight-only post-training quantization for serving (opt-in,
+    ``export --quantize int8``): every kernel (ndim ≥ 2: conv HWIO, dense
+    IO) becomes int8 with a per-output-channel float32 scale; biases, BN
+    affines, and other 1-D arrays stay float32. Symmetric round-to-nearest
+    with the scale chosen so max|w| maps to 127 — reconstruction error is
+    ≤ scale/2 per element. The exported StableHLO then embeds int8
+    constants: ~4× smaller artifacts and ~4× less weight HBM traffic at
+    serve time; activations/compute are unchanged."""
+
+    def enc(w):
+        w = np.asarray(w)
+        if w.ndim < 2:
+            return jnp.asarray(w)
+        amax = np.max(np.abs(w), axis=tuple(range(w.ndim - 1)), keepdims=True)
+        scale = (np.maximum(amax, 1e-12) / 127.0).astype(np.float32)
+        q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+        return QTensor(jnp.asarray(q), jnp.asarray(scale))
+
+    return jax.tree.map(enc, params)
+
+
+def dequantize(params, dtype=jnp.float32):
+    """Inverse of :func:`quantize_int8` — inside a traced serving fn the
+    int8 ``q`` tensors become int8 *constants* of the exported program and
+    the multiply is the only added compute."""
+    return jax.tree.map(
+        lambda x: x.q.astype(dtype) * x.scale.astype(dtype)
+        if isinstance(x, QTensor)
+        else x,
+        params,
+        is_leaf=lambda x: isinstance(x, QTensor),
+    )
+
+
 def make_serving_fns(
-    cfg, nets, state, zca_stats=None
+    cfg, nets, state, zca_stats=None, quantize: Optional[str] = None
 ) -> Tuple[Callable, Callable]:
     """Build ``(classify, generate)`` pure functions over a restored state.
 
     ``classify(images_u8) -> logits`` — eval-mode classifier, training
     input transform baked in. ``generate(z, y) -> images`` — eval-mode
-    generator, raw [-1,1] output space.
+    generator, raw [-1,1] output space. ``quantize="int8"`` applies
+    weight-only PTQ (:func:`quantize_int8`) to both players' kernels.
     """
     from triplegan_tpu.data import ondevice
 
@@ -58,6 +102,27 @@ def make_serving_fns(
     cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     params_c, bn_c = state.params["clf"], state.bn["clf"]
     params_g, bn_g = state.params["gen"], state.bn["gen"]
+    if quantize is not None:
+        if quantize != "int8":
+            raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+        qc, qg = quantize_int8(params_c), quantize_int8(params_g)
+        # Re-materialize the f32 weights INSIDE the traced fns so the
+        # artifact stores int8 constants, not the dequantized product.
+        params_c = None  # cut the f32 references; dequant below
+        params_g = None
+
+        def _params_c():
+            return dequantize(qc)
+
+        def _params_g():
+            return dequantize(qg)
+    else:
+
+        def _params_c():
+            return params_c
+
+        def _params_g():
+            return params_g
 
     def classify(images_u8):
         # Exactly the eval path (train/step.py make_eval_step): the same
@@ -72,11 +137,11 @@ def make_serving_fns(
             dtype=cdt,
             do_rescale=rescale,
         )
-        logits, _ = clf.apply(params_c, bn_c, x, train=False)
+        logits, _ = clf.apply(_params_c(), bn_c, x, train=False)
         return logits.astype(jnp.float32)  # f32 at the serving boundary
 
     def generate(z, y):
-        x, _ = gen.apply(params_g, bn_g, z, y, train=False)
+        x, _ = gen.apply(_params_g(), bn_g, z, y, train=False)
         return x
 
     return classify, generate
@@ -182,14 +247,24 @@ def export_artifacts(
     fmt: str = "stablehlo",
     batch_size: Optional[int] = None,
     zca_stats=None,
+    quantize: Optional[str] = None,
 ) -> list:
     """Export the requested servables; returns the written paths.
 
     ``what``: classifier|generator|both. ``fmt``: stablehlo|savedmodel|npz.
+    ``quantize="int8"``: weight-only PTQ (:func:`quantize_int8`) baked into
+    the traced artifact — int8 weight constants, same graph otherwise.
     """
     os.makedirs(out_dir, exist_ok=True)
+    if quantize and fmt == "npz":
+        raise ValueError(
+            "quantize applies to traced artifacts (stablehlo/savedmodel); "
+            "npz stores the raw f32 parameters"
+        )
     b = int(batch_size or cfg.batch_size)
-    classify, generate = make_serving_fns(cfg, nets, state, zca_stats)
+    classify, generate = make_serving_fns(
+        cfg, nets, state, zca_stats, quantize=quantize
+    )
     img = jax.ShapeDtypeStruct(
         (b, int(cfg.image_size), int(cfg.image_size), int(cfg.channels)),
         jnp.uint8,
