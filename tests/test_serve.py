@@ -375,3 +375,18 @@ def test_cli_serve_requires_a_source():
 
     with pytest.raises(SystemExit):
         main(["serve", "--port", "0"])
+
+
+def test_app_from_state_quantized_close_to_f32():
+    cfg = tiny_config()
+    nets = make_networks(cfg)
+    state = create_state(cfg, nets, make_optimizers(cfg, 1))
+    app = app_from_state(cfg, nets, state, batch_size=4)
+    qapp = app_from_state(cfg, nets, state, batch_size=4, quantize="int8")
+    imgs = np.random.RandomState(5).randint(
+        0, 256, size=(4, 16, 16, 3)
+    ).astype(np.uint8)
+    a, q = app.do_classify(imgs), qapp.do_classify(imgs)
+    # fresh-init logits are near-tied, so argmax may flip between ~equal
+    # classes; the contract is the small weight-space drift bound
+    assert np.max(np.abs(a - q)) < 0.05

@@ -438,8 +438,10 @@ def cmd_serve(args):
             restored,
             zca_stats=_load_zca(cfg, workdir),
             batch_size=args.batch_size,
+            quantize=args.quantize,
             meta={"source": "checkpoint", "config": cfg.name,
-                  "step": int(restored.step)},
+                  "step": int(restored.step),
+                  **({"quantize": args.quantize} if args.quantize else {})},
         )
     else:
         sys.exit("serve needs --config (run dir) or --classifier/--generator "
@@ -586,6 +588,9 @@ def main(argv=None):
     sp.add_argument("--batch-size", type=int, default=None,
                     help="static serving batch (checkpoint source only; "
                          "default cfg.batch_size; requests are chunked+padded)")
+    sp.add_argument("--quantize", default=None, choices=("int8",),
+                    help="serve the weight-only int8 PTQ variant "
+                         "(checkpoint source only)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("prepare", help="convert raw dataset files to npz shards")

@@ -283,15 +283,20 @@ def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
 # ---- builders for the two serving sources ----
 
 
-def app_from_state(cfg, nets, state, zca_stats=None, batch_size: int = 0, meta=None):
+def app_from_state(
+    cfg, nets, state, zca_stats=None, batch_size: int = 0, meta=None, quantize=None
+):
     """Serve directly from an in-memory restored state: jit the
-    :func:`export.make_serving_fns` pair at a static batch size."""
+    :func:`export.make_serving_fns` pair at a static batch size.
+    ``quantize="int8"`` serves the weight-only-PTQ variant."""
     import jax
 
     from triplegan_tpu.export import make_serving_fns
 
     b = int(batch_size or cfg.batch_size)
-    classify, generate = make_serving_fns(cfg, nets, state, zca_stats=zca_stats)
+    classify, generate = make_serving_fns(
+        cfg, nets, state, zca_stats=zca_stats, quantize=quantize
+    )
     return ServingApp(
         classify=jax.jit(classify),
         generate=jax.jit(generate),
