@@ -30,8 +30,14 @@ state = create_state(cfg, nets, make_optimizers(cfg, 1))
 rng = np.random.RandomState(0)
 zca = fit_zca(rng.randint(0, 256, size=(4096, 32, 32, 3)).astype(np.uint8))
 
-for label, stats in (("zca-baked (the real cifar artifact)", zca), ("no-zca", None)):
-    classify, generate = make_serving_fns(cfg, nets, state, zca_stats=stats)
+for label, stats, quant in (
+    ("zca-baked (the real cifar artifact)", zca, None),
+    ("zca-baked int8 weight-only", zca, "int8"),
+    ("no-zca", None, None),
+):
+    classify, generate = make_serving_fns(
+        cfg, nets, state, zca_stats=stats, quantize=quant
+    )
     cl = jax.jit(classify)
     print(f"-- classify, {label} --")
     for b in (256, 512, 1024):
