@@ -6,6 +6,7 @@ import pickle
 import struct
 
 import numpy as np
+import pytest
 
 from tests.helpers import tiny_config, tiny_data
 from triplegan_tpu.data.datasets import load_dataset, semi_split, synthetic_dataset
@@ -178,3 +179,62 @@ def test_synthetic_dataset_learnable_signal():
     m0 = ds.x_label[ds.y_label == 0].mean()
     m9 = ds.x_label[ds.y_label == 9].mean()
     assert abs(m9 - m0) > 50
+
+
+# ---------- malformed raw files fail with the file NAMED ----------
+
+
+def test_prepare_mnist_truncated_and_bad_magic(tmp_path):
+    """Converter error paths (reference parity is silent numpy crashes;
+    here every malformed raw file names itself): truncated header, wrong
+    magic, and payload/header disagreement."""
+    import struct
+
+    from triplegan_tpu.data.prepare import _read_idx_images, _read_idx_labels
+
+    p = tmp_path / "train-images-idx3-ubyte"
+    p.write_bytes(b"\x00\x00")  # truncated header
+    with pytest.raises(ValueError, match="truncated idx header"):
+        _read_idx_images(str(p))
+    p.write_bytes(struct.pack(">IIII", 1234, 1, 2, 2) + b"\x00" * 4)
+    with pytest.raises(ValueError, match="bad idx image magic 1234"):
+        _read_idx_images(str(p))
+    p.write_bytes(struct.pack(">IIII", 2051, 2, 2, 2) + b"\x00" * 5)  # want 8
+    with pytest.raises(ValueError, match="payload has 5 bytes"):
+        _read_idx_images(str(p))
+    q = tmp_path / "labels"
+    q.write_bytes(struct.pack(">II", 2049, 3) + b"\x00" * 2)
+    with pytest.raises(ValueError, match="2 labels, header promises 3"):
+        _read_idx_labels(str(q))
+
+
+def test_prepare_cifar_batch_validation(tmp_path):
+    import pickle
+
+    from triplegan_tpu.data.prepare import _read_cifar_batch
+
+    p = tmp_path / "data_batch_1"
+    p.write_bytes(b"not a pickle at all")
+    with pytest.raises(ValueError, match="not a CIFAR-10 pickle"):
+        _read_cifar_batch(str(p))
+    p.write_bytes(pickle.dumps({b"data": np.zeros((2, 3072), np.uint8)}))
+    with pytest.raises(ValueError, match="missing data/labels"):
+        _read_cifar_batch(str(p))
+    p.write_bytes(
+        pickle.dumps({b"data": np.zeros((2, 100), np.uint8), b"labels": [0, 1]})
+    )
+    with pytest.raises(ValueError, match="3072 bytes"):
+        _read_cifar_batch(str(p))
+    p.write_bytes(
+        pickle.dumps({b"data": np.zeros((2, 3072), np.uint8), b"labels": [0]})
+    )
+    with pytest.raises(ValueError, match="2 images but 1 labels"):
+        _read_cifar_batch(str(p))
+
+
+def test_prepare_stl10_truncated_images(tmp_path):
+    from triplegan_tpu.data.prepare import prepare_stl10
+
+    (tmp_path / "train_X.bin").write_bytes(b"\x00" * 1000)  # not a multiple
+    with pytest.raises(ValueError, match="multiple of 3\\*96\\*96"):
+        prepare_stl10(str(tmp_path), str(tmp_path / "out"))

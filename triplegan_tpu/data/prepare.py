@@ -43,18 +43,38 @@ def _open_maybe_gz(path: str):
 
 
 def _read_idx_images(path: str) -> np.ndarray:
+    # Malformed raw files must fail with the FILE named: these are the
+    # first bytes a user's download ever flows through. (No ``assert`` for
+    # validation — asserts vanish under ``python -O``.)
     with _open_maybe_gz(path) as f:
-        magic, n, rows, cols = struct.unpack(">IIII", f.read(16))
-        assert magic == 2051, f"bad idx image magic {magic}"
+        header = f.read(16)
+        if len(header) < 16:
+            raise ValueError(f"{path}: truncated idx header ({len(header)} bytes)")
+        magic, n, rows, cols = struct.unpack(">IIII", header)
+        if magic != 2051:
+            raise ValueError(f"{path}: bad idx image magic {magic} (want 2051)")
         data = np.frombuffer(f.read(), dtype=np.uint8)
+    if data.size != n * rows * cols:
+        raise ValueError(
+            f"{path}: idx payload has {data.size} bytes, header promises "
+            f"{n}x{rows}x{cols}={n * rows * cols}"
+        )
     return data.reshape(n, rows, cols, 1)
 
 
 def _read_idx_labels(path: str) -> np.ndarray:
     with _open_maybe_gz(path) as f:
-        magic, n = struct.unpack(">II", f.read(8))
-        assert magic == 2049, f"bad idx label magic {magic}"
+        header = f.read(8)
+        if len(header) < 8:
+            raise ValueError(f"{path}: truncated idx header ({len(header)} bytes)")
+        magic, n = struct.unpack(">II", header)
+        if magic != 2049:
+            raise ValueError(f"{path}: bad idx label magic {magic} (want 2049)")
         data = np.frombuffer(f.read(), dtype=np.uint8)
+    if data.size != n:
+        raise ValueError(
+            f"{path}: idx payload has {data.size} labels, header promises {n}"
+        )
     return data.astype(np.int32)
 
 
@@ -63,6 +83,12 @@ def prepare_mnist(raw_dir: str, out_dir: str) -> None:
     y_tr = _read_idx_labels(os.path.join(raw_dir, "train-labels-idx1-ubyte"))
     x_te = _read_idx_images(os.path.join(raw_dir, "t10k-images-idx3-ubyte"))
     y_te = _read_idx_labels(os.path.join(raw_dir, "t10k-labels-idx1-ubyte"))
+    for split, x, y in (("train", x_tr, y_tr), ("test", x_te, y_te)):
+        if len(x) != len(y):
+            raise ValueError(
+                f"mnist {split}: {len(x)} images but {len(y)} labels — "
+                f"mismatched idx files in {raw_dir}"
+            )
     _save(out_dir, "mnist", "train", x_tr, y_tr)
     _save(out_dir, "mnist", "test", x_te, y_te)
 
@@ -74,9 +100,19 @@ def prepare_mnist(raw_dir: str, out_dir: str) -> None:
 
 def _read_cifar_batch(path: str) -> Tuple[np.ndarray, np.ndarray]:
     with open(path, "rb") as f:
-        d = pickle.load(f, encoding="bytes")
-    x = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        try:
+            d = pickle.load(f, encoding="bytes")
+        except Exception as e:
+            raise ValueError(f"{path}: not a CIFAR-10 pickle batch ({e})") from e
+    if not isinstance(d, dict) or b"data" not in d or b"labels" not in d:
+        raise ValueError(f"{path}: CIFAR-10 batch is missing data/labels keys")
+    raw = np.asarray(d[b"data"])
+    if raw.ndim != 2 or raw.shape[1] != 3072:
+        raise ValueError(f"{path}: CIFAR-10 rows must be 3072 bytes, got {raw.shape}")
+    x = raw.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
     y = np.asarray(d[b"labels"], dtype=np.int32)
+    if len(y) != len(x):
+        raise ValueError(f"{path}: {len(x)} images but {len(y)} labels")
     return x, y
 
 
@@ -109,7 +145,10 @@ def prepare_svhn(raw_dir: str, out_dir: str) -> None:
     from scipy.io import loadmat
 
     def read(split):
-        m = loadmat(os.path.join(raw_dir, f"{split}_32x32.mat"))
+        path = os.path.join(raw_dir, f"{split}_32x32.mat")
+        m = loadmat(path)
+        if "X" not in m or "y" not in m:
+            raise ValueError(f"{path}: SVHN .mat is missing X/y variables")
         x = m["X"].transpose(3, 0, 1, 2)  # HWCN → NHWC
         y = m["y"].reshape(-1).astype(np.int32)
         y[y == 10] = 0  # SVHN labels digit 0 as class 10
@@ -134,6 +173,11 @@ def prepare_stl10(raw_dir: str, out_dir: str) -> None:
     def read_images(path):
         with open(path, "rb") as f:
             data = np.frombuffer(f.read(), dtype=np.uint8)
+        if data.size == 0 or data.size % (3 * 96 * 96) != 0:
+            raise ValueError(
+                f"{path}: STL-10 image file must be a multiple of "
+                f"3*96*96={3 * 96 * 96} bytes, got {data.size}"
+            )
         return data.reshape(-1, 3, 96, 96).transpose(0, 3, 2, 1)  # CWH → NHWC
 
     def read_labels(path):
