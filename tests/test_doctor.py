@@ -1,0 +1,91 @@
+"""Deployment diagnostics (beyond-parity extra, doctor.py): each check
+yields named ok/warn/fail findings; the device probe runs in a subprocess
+so a hung PJRT init is a finding, not a hang."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.helpers import tiny_config
+from triplegan_tpu.doctor import (
+    check_data,
+    check_device,
+    check_mesh,
+    check_workdir,
+    format_findings,
+    run_doctor,
+)
+
+
+def _levels(findings, name=None):
+    return [lv for lv, n, _ in findings if name is None or n == name]
+
+
+def test_run_doctor_synthetic_ok(tmp_path):
+    cfg = tiny_config()
+    cfg.workdir = str(tmp_path)
+    findings = run_doctor(cfg, str(tmp_path / cfg.name), skip_device=True)
+    assert "fail" not in _levels(findings)
+    assert _levels(findings, "data") == ["ok"]
+    out = format_findings(findings)
+    assert "versions" in out and "mesh" in out
+
+
+def test_check_data_missing_and_corrupt(tmp_path):
+    cfg = tiny_config()
+    cfg.dataset = "mnist"
+    cfg.data_dir = str(tmp_path)
+    findings = check_data(cfg)
+    assert _levels(findings, "data") == ["fail", "fail"]
+    assert "cli prepare" in findings[0][2]  # remediation named
+
+    d = tmp_path / "mnist"
+    d.mkdir()
+    np.savez(d / "train.npz", images=np.zeros((4, 8, 8, 1), np.float32),
+             labels=np.zeros((4,), np.int32))  # wrong dtype
+    np.savez(d / "test.npz", images=np.zeros((4, 8, 8, 1), np.uint8),
+             labels=np.zeros((3,), np.int32))  # count mismatch
+    findings = check_data(cfg)
+    msgs = [m for _, _, m in findings]
+    assert any("uint8" in m for m in msgs)
+    assert any("4 images vs 3 labels" in m for m in msgs)
+
+
+def test_check_mesh_divisibility():
+    cfg = tiny_config()
+    cfg.mesh_shape = (8,)
+    cfg.batch_size = 12  # not divisible by 8
+    findings = check_mesh(cfg)
+    assert "fail" in _levels(findings, "mesh")
+    cfg.batch_size = 16
+    findings = check_mesh(cfg, visible_devices=4)
+    assert any("only 4 visible" in m for _, _, m in findings)
+
+
+def test_check_workdir_torn_tmp(tmp_path):
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "100").mkdir(parents=True)
+    (ckpt / "200.orbax-checkpoint-tmp-123").mkdir()
+    findings = check_workdir(str(tmp_path))
+    assert any("latest step 100" in m for _, _, m in findings)
+    assert any("torn checkpoint tmp" in m for _, _, m in findings)
+
+
+def test_check_device_cpu_probe(monkeypatch):
+    monkeypatch.setenv("TRIPLEGAN_DOCTOR_CPU", "1")
+    findings = check_device(timeout_s=300)
+    assert findings[0][0] == "ok", findings
+    assert "cpu" in findings[0][2]
+
+
+def test_cli_doctor_exit_codes(tmp_path, capsys):
+    from triplegan_tpu.cli import main
+
+    main(["doctor", "--config", "mnist100", "--workdir", str(tmp_path),
+          "--set", "dataset=synthetic", "--skip-device"])
+    out = capsys.readouterr().out
+    assert "synthetic dataset" in out
+    with pytest.raises(SystemExit):
+        main(["doctor", "--config", "mnist100", "--workdir", str(tmp_path),
+              "--data-dir", str(tmp_path / "nowhere"), "--skip-device"])

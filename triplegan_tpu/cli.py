@@ -8,6 +8,7 @@ scripts, SURVEY.md §2.1 #1/#10/#11):
     python -m triplegan_tpu.cli export  --config cifar10_4k --workdir ...
     python -m triplegan_tpu.cli serve   --config cifar10_4k --workdir ... --port 8000
     python -m triplegan_tpu.cli prepare --dataset cifar10 --raw-dir ... --data-dir ...
+    python -m triplegan_tpu.cli doctor  --config cifar10_4k --workdir ...
 
 Overrides: ``--set key=value`` (repeatable) mutates any config field, e.g.
 ``--set batch_size=256 --set compute_dtype=bfloat16``.
@@ -458,6 +459,30 @@ def cmd_serve(args):
         server.shutdown()
 
 
+def cmd_doctor(args):
+    """Deployment diagnostics (beyond-parity extra — see doctor.py):
+    device init (probed in a subprocess with a timeout, so a dead TPU
+    driver/tunnel is reported, not hung on), versions, config/data/mesh/
+    checkpoint sanity. Exits non-zero iff any check FAILS."""
+    from triplegan_tpu.doctor import format_findings, run_doctor
+
+    cfg = workdir = None
+    if args.config:
+        from triplegan_tpu.configs.base import apply_runtime
+
+        cfg = apply_runtime(_load_cfg(args))
+        workdir = os.path.join(cfg.workdir, cfg.name)
+    findings = run_doctor(
+        cfg,
+        workdir,
+        skip_device=args.skip_device,
+        device_timeout_s=args.device_timeout,
+    )
+    print(format_findings(findings))
+    if any(lv == "fail" for lv, _, _ in findings):
+        sys.exit(1)
+
+
 def cmd_prepare(args):
     from triplegan_tpu.data.prepare import prepare
 
@@ -592,6 +617,19 @@ def main(argv=None):
                     help="serve the weight-only int8 PTQ variant "
                          "(checkpoint source only)")
     sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser("doctor", help="diagnose the deployment: device, "
+                                       "versions, config, data, mesh, ckpts")
+    sp.add_argument("--config", default=None,
+                    help="also check this config's data/mesh/run-dir")
+    sp.add_argument("--workdir", default=None)
+    sp.add_argument("--data-dir", default=None)
+    sp.add_argument("--set", action="append", metavar="KEY=VALUE")
+    sp.add_argument("--skip-device", action="store_true",
+                    help="skip the subprocess device-init probe")
+    sp.add_argument("--device-timeout", type=int, default=120,
+                    help="seconds before the device probe is declared hung")
+    sp.set_defaults(fn=cmd_doctor)
 
     sp = sub.add_parser("prepare", help="convert raw dataset files to npz shards")
     sp.add_argument("--dataset", required=True)

@@ -1,0 +1,217 @@
+"""Deployment diagnostics: ``python -m triplegan_tpu.cli doctor``.
+
+Beyond-parity extra (the reference has no operational tooling,
+[ref-expected] top-level run scripts only — SURVEY.md §2.1): one command
+that checks everything a training or serving run is about to depend on,
+and names what is broken instead of hanging or crashing later:
+
+  * **device** — PJRT init is probed in a SUBPROCESS with a timeout: on
+    TPU VMs a dead driver/tunnel makes ``jax.devices()`` itself hang, so
+    an in-process check would hang the doctor too. A timeout is reported
+    as a finding, not suffered.
+  * **versions** — jax/jaxlib/numpy/orbax versions.
+  * **config** — resolves the named config, reports the persisted run-dir
+    ``config.json`` merge state.
+  * **data** — prepared ``train.npz``/``test.npz`` exist for the config's
+    dataset, with shape/dtype sanity; ZCA cache presence for zca configs.
+  * **mesh** — ``mesh_shape`` vs visible device count, batch divisibility.
+  * **workdir** — checkpoint dir, latest step, torn ``*.orbax-*tmp*``
+    leftovers (a crash signature the manager will purge on next write).
+
+Each check yields ``(level, name, message)`` with level ok|warn|fail;
+the CLI exits non-zero iff any check failed.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from typing import List, Tuple
+
+Finding = Tuple[str, str, str]  # level, check, message
+
+_DEVICE_PROBE = """
+import os
+if os.environ.get("TRIPLEGAN_DOCTOR_CPU") == "1":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+import jax
+ds = jax.devices()
+import jax.numpy as jnp
+x = jnp.ones((8, 8)); float((x @ x).sum())
+print("DOCTOR_DEVICES", jax.default_backend(), len(ds))
+"""
+
+
+def check_device(timeout_s: int = 120) -> List[Finding]:
+    """Probe PJRT init + one tiny compile in a subprocess (see module
+    docstring for why in-process probing is wrong on TPU VMs)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _DEVICE_PROBE],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return [(
+            "fail",
+            "device",
+            f"device init hung >{timeout_s}s — on a TPU VM this is the "
+            "driver/tunnel, not this framework; retry later or set "
+            "TRIPLEGAN_DOCTOR_CPU=1 to check the CPU path",
+        )]
+    for line in out.stdout.splitlines():
+        if line.startswith("DOCTOR_DEVICES"):
+            _, backend, n = line.split()
+            return [("ok", "device", f"{n} {backend} device(s), tiny matmul ran")]
+    tail = (out.stderr or out.stdout).strip().splitlines()
+    return [("fail", "device", f"device probe failed: {tail[-1] if tail else 'no output'}")]
+
+
+def check_versions() -> List[Finding]:
+    import jax
+    import jaxlib
+    import numpy
+    import orbax.checkpoint as ocp
+
+    return [(
+        "ok",
+        "versions",
+        f"jax {jax.__version__}, jaxlib {jaxlib.__version__}, "
+        f"numpy {numpy.__version__}, orbax {ocp.__version__}",
+    )]
+
+
+def check_config(cfg, workdir: str) -> List[Finding]:
+    saved = os.path.join(workdir, "config.json")
+    if os.path.exists(saved):
+        return [("ok", "config", f"{cfg.name}: run-dir {saved} merged")]
+    return [(
+        "warn",
+        "config",
+        f"{cfg.name}: no persisted config.json under {workdir} "
+        "(fresh run dir, or wrong --workdir)",
+    )]
+
+
+def check_data(cfg) -> List[Finding]:
+    if cfg.dataset == "synthetic":
+        return [("ok", "data", "synthetic dataset (no files needed)")]
+    d = os.path.join(cfg.data_dir, cfg.dataset)
+    findings: List[Finding] = []
+    for split in ("train", "test"):
+        path = os.path.join(d, f"{split}.npz")
+        if not os.path.exists(path):
+            findings.append((
+                "fail",
+                "data",
+                f"missing {path} — run: python -m triplegan_tpu.cli prepare "
+                f"--dataset {cfg.dataset} --raw-dir <raw> --data-dir {cfg.data_dir}",
+            ))
+            continue
+        try:
+            import numpy as np
+
+            with np.load(path) as f:
+                x, y = f["images"], f["labels"]
+            if x.dtype != np.uint8 or x.ndim != 4:
+                findings.append(
+                    ("fail", "data", f"{path}: images must be uint8 NHWC, got "
+                                     f"{x.dtype} {x.shape}")
+                )
+            elif len(x) != len(y):
+                findings.append(
+                    ("fail", "data", f"{path}: {len(x)} images vs {len(y)} labels")
+                )
+            else:
+                findings.append(
+                    ("ok", "data", f"{path}: {len(x)} images {x.shape[1:]}")
+                )
+        except Exception as e:
+            findings.append(("fail", "data", f"{path}: unreadable ({e})"))
+    if cfg.zca:
+        cache = os.path.join(cfg.workdir, cfg.name, "zca_stats.npz")
+        if os.path.exists(cache):
+            findings.append(("ok", "zca", f"stats cache {cache}"))
+        else:
+            findings.append((
+                "warn",
+                "zca",
+                f"no {cache} — first run will fit ZCA from the train set "
+                "(one-time cost)",
+            ))
+    return findings
+
+
+def check_mesh(cfg, visible_devices: int = None) -> List[Finding]:
+    import numpy as np
+
+    n = int(np.prod(cfg.mesh_shape))
+    findings: List[Finding] = []
+    if cfg.batch_size % n:
+        findings.append((
+            "fail",
+            "mesh",
+            f"batch_size={cfg.batch_size} not divisible by the "
+            f"{n}-device mesh {tuple(cfg.mesh_shape)}",
+        ))
+    else:
+        findings.append(
+            ("ok", "mesh", f"mesh {tuple(cfg.mesh_shape)}, "
+                           f"{cfg.batch_size // n} images/device")
+        )
+    if visible_devices is not None and visible_devices < n:
+        findings.append((
+            "fail",
+            "mesh",
+            f"mesh needs {n} devices but only {visible_devices} visible",
+        ))
+    return findings
+
+
+def check_workdir(workdir: str) -> List[Finding]:
+    ckpt_dir = os.path.join(workdir, "ckpt")
+    if not os.path.isdir(ckpt_dir):
+        return [("warn", "workdir", f"no checkpoints yet under {ckpt_dir}")]
+    steps, torn = [], []
+    for name in os.listdir(ckpt_dir):
+        if "tmp" in name and "orbax" in name:
+            torn.append(name)
+        elif name.isdigit():
+            steps.append(int(name))
+    findings: List[Finding] = []
+    if steps:
+        findings.append(
+            ("ok", "workdir", f"{len(steps)} checkpoint(s), latest step {max(steps)}")
+        )
+    else:
+        findings.append(("warn", "workdir", f"{ckpt_dir} exists but holds no steps"))
+    if torn:
+        findings.append((
+            "warn",
+            "workdir",
+            f"{len(torn)} torn checkpoint tmp dir(s) (crash leftovers; the "
+            "next training run purges them on open)",
+        ))
+    return findings
+
+
+def run_doctor(cfg=None, workdir: str = None, skip_device: bool = False,
+               device_timeout_s: int = 120) -> List[Finding]:
+    findings: List[Finding] = []
+    findings += check_versions()
+    if not skip_device:
+        findings += check_device(device_timeout_s)
+    if cfg is not None:
+        findings += check_config(cfg, workdir)
+        findings += check_data(cfg)
+        findings += check_mesh(cfg)
+        findings += check_workdir(workdir)
+    return findings
+
+
+def format_findings(findings: List[Finding]) -> str:
+    mark = {"ok": "✓", "warn": "!", "fail": "✗"}
+    return "\n".join(f"{mark[lv]} {name:<9} {msg}" for lv, name, msg in findings)
