@@ -32,10 +32,57 @@ import time
 import jax
 
 
+def _guard_device_init() -> None:
+    """Probe PJRT init in a SUBPROCESS before benching: on this TPU VM a
+    dead driver/tunnel makes ``jax.devices()`` itself hang forever
+    (observed 2026-08-17/18 outage), which would leave the driver with NO
+    bench line at all. A hung probe becomes an honest error JSON instead.
+    Disable with BENCH_SKIP_DEVICE_GUARD=1 (e.g. when a prior step in the
+    same job already held the device). The probe exits before the real
+    bench initializes, so the one-device-process rule holds."""
+    if os.environ.get("BENCH_SKIP_DEVICE_GUARD") == "1":
+        return
+    import subprocess
+    import sys
+
+    timeout_s = int(os.environ.get("BENCH_DEVICE_TIMEOUT", "600"))
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); import jax.numpy as jnp; "
+             "x = jnp.ones((8, 8)); float((x @ x).sum())"],
+            capture_output=True,
+            timeout=timeout_s,
+            check=True,
+        )
+    except Exception as e:
+        reason = (
+            f"device init hung >{timeout_s}s (TPU tunnel outage)"
+            if isinstance(e, subprocess.TimeoutExpired)
+            else f"device init failed: {type(e).__name__}"
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "cifar10_4k_triplegan_3player_step_throughput",
+                    "value": None,
+                    "unit": "images/sec/chip",
+                    "vs_baseline": None,
+                    "error": reason
+                    + " — last recorded on-chip measurement: 8714 img/s"
+                    " (BENCH_r02.json era HEAD + r3 journal, 2026-08-17)",
+                }
+            )
+        )
+        raise SystemExit(0)
+
+
 def main() -> None:
     import jax as _jax
 
     from triplegan_tpu.utils.cache import enable_compilation_cache
+
+    _guard_device_init()
 
     enable_compilation_cache()
     if os.environ.get("BENCH_RBG", "1") == "1":

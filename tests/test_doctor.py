@@ -89,3 +89,28 @@ def test_cli_doctor_exit_codes(tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["doctor", "--config", "mnist100", "--workdir", str(tmp_path),
               "--data-dir", str(tmp_path / "nowhere"), "--skip-device"])
+
+
+def test_bench_device_guard_emits_error_json(monkeypatch, capsys):
+    """bench.py must emit one honest error JSON line instead of hanging
+    when PJRT init is dead (the 2026-08-17/18 tunnel outage mode)."""
+    import json
+    import subprocess
+
+    import bench
+
+    def fake_run(*a, **kw):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=kw.get("timeout", 0))
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.delenv("BENCH_SKIP_DEVICE_GUARD", raising=False)
+    with pytest.raises(SystemExit) as ei:
+        bench._guard_device_init()
+    assert ei.value.code == 0
+    line = capsys.readouterr().out.strip()
+    parsed = json.loads(line)
+    assert parsed["value"] is None and "device init hung" in parsed["error"]
+
+    # and the skip knob really skips
+    monkeypatch.setenv("BENCH_SKIP_DEVICE_GUARD", "1")
+    bench._guard_device_init()  # no SystemExit, no probe
