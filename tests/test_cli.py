@@ -234,3 +234,45 @@ def test_cli_eval_artifact_qualification(trained_workdir, capsys):
     with pytest.raises(SystemExit, match="not a classifier artifact"):
         main(["eval", "--config", "mnist100", "--workdir", trained_workdir,
               "--artifact", os.path.join(out_dir, "generate.stablehlo"), *TINY])
+
+
+def test_cli_predict_checkpoint_and_artifact_agree(trained_workdir, tmp_path, capsys):
+    """predict labels a raw .npy through the checkpoint or an exported
+    artifact — identical logits either way; probs are a softmax; bad
+    inputs exit cleanly naming the problem."""
+    import numpy as np
+
+    imgs = np.random.RandomState(3).randint(
+        0, 256, size=(9, 16, 16, 1)
+    ).astype(np.uint8)
+    inp = str(tmp_path / "in.npy")
+    np.save(inp, imgs)
+
+    main(["predict", "--config", "mnist100", "--workdir", trained_workdir,
+          "--input", inp, "--out", str(tmp_path / "p1.npz"),
+          "--batch-size", "4", *TINY])
+    main(["export", "--config", "mnist100", "--workdir", trained_workdir,
+          "--what", "classifier", "--batch-size", "4", *TINY])
+    capsys.readouterr()
+    artifact = os.path.join(trained_workdir, "mnist100", "export",
+                            "classify.stablehlo")
+    main(["predict", "--artifact", artifact, "--input", inp,
+          "--out", str(tmp_path / "p2.npz")])
+    out = capsys.readouterr().out
+    assert "predicted 9 images" in out
+
+    p1 = np.load(tmp_path / "p1.npz")
+    p2 = np.load(tmp_path / "p2.npz")
+    np.testing.assert_allclose(p1["logits"], p2["logits"], atol=1e-5)
+    np.testing.assert_allclose(p1["probs"].sum(-1), 1.0, atol=1e-5)
+    assert p1["labels"].dtype == np.int32 and p1["labels"].shape == (9,)
+
+    # float input → clean exit naming dtype
+    bad = str(tmp_path / "bad.npy")
+    np.save(bad, imgs.astype(np.float32))
+    with pytest.raises(SystemExit, match="uint8"):
+        main(["predict", "--artifact", artifact, "--input", bad,
+              "--out", str(tmp_path / "p3.npz")])
+    # no source → clean exit
+    with pytest.raises(SystemExit, match="--config .* or --artifact"):
+        main(["predict", "--input", inp, "--out", str(tmp_path / "p4.npz")])

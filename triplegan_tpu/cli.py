@@ -8,6 +8,7 @@ scripts, SURVEY.md §2.1 #1/#10/#11):
     python -m triplegan_tpu.cli export  --config cifar10_4k --workdir ...
     python -m triplegan_tpu.cli serve   --config cifar10_4k --workdir ... --port 8000
     python -m triplegan_tpu.cli prepare --dataset cifar10 --raw-dir ... --data-dir ...
+    python -m triplegan_tpu.cli predict --config cifar10_4k --workdir ... --input imgs.npy
     python -m triplegan_tpu.cli doctor  --config cifar10_4k --workdir ...
 
 Overrides: ``--set key=value`` (repeatable) mutates any config field, e.g.
@@ -459,6 +460,87 @@ def cmd_serve(args):
         server.shutdown()
 
 
+def cmd_predict(args):
+    """Offline batch inference (beyond-parity extra): label a file of raw
+    uint8 images with the trained classifier — the end-use of a
+    semi-supervised model. Input: ``.npy`` uint8 NHWC (or ``.npz`` with an
+    ``images`` key). Output: ``.npz`` with ``logits`` [N,K] f32, ``probs``
+    (softmax), and ``labels`` (argmax). Source: the run dir's checkpoint,
+    or ``--artifact`` (an exported classifier ``.stablehlo``, transform
+    baked in — no checkpoint needed)."""
+    import numpy as np
+
+    from triplegan_tpu.serve import batched_apply
+
+    def load_images(path):
+        arr = np.load(path, allow_pickle=False)
+        if not isinstance(arr, np.ndarray):  # .npz
+            if "images" not in arr:
+                sys.exit(f"{path}: .npz input must contain an 'images' array")
+            arr = arr["images"]
+        if arr.dtype != np.uint8 or arr.ndim != 4:
+            sys.exit(
+                f"{path}: images must be uint8 [N,H,W,C], got {arr.dtype} "
+                f"{arr.shape}"
+            )
+        return arr
+
+    images = load_images(args.input)
+    if args.artifact:
+        from triplegan_tpu.export import load_stablehlo_exported
+
+        exp = load_stablehlo_exported(args.artifact)
+        if len(exp.in_avals) != 1:
+            sys.exit(f"{args.artifact} is not a classifier artifact")
+        (aval,) = exp.in_avals
+        if tuple(aval.shape[1:]) != tuple(images.shape[1:]):
+            sys.exit(
+                f"artifact expects images {tuple(aval.shape[1:])}, input "
+                f"has {tuple(images.shape)}"
+            )
+        logits = batched_apply(exp.call, int(aval.shape[0]), images)
+    else:
+        if not args.config:
+            sys.exit("predict needs --config (run dir) or --artifact")
+        import jax
+
+        from triplegan_tpu.ckpt import CheckpointManager
+        from triplegan_tpu.configs.base import apply_runtime, make_networks
+        from triplegan_tpu.export import make_serving_fns
+        from triplegan_tpu.train.schedule import make_optimizers
+        from triplegan_tpu.train.state import create_state
+
+        cfg = apply_runtime(_load_cfg(args))
+        workdir = os.path.join(cfg.workdir, cfg.name)
+        if tuple(images.shape[1:]) != (cfg.image_size, cfg.image_size, cfg.channels):
+            sys.exit(
+                f"{cfg.name} expects images "
+                f"{(cfg.image_size, cfg.image_size, cfg.channels)}, input "
+                f"has {tuple(images.shape)}"
+            )
+        nets = make_networks(cfg)
+        state = create_state(cfg, nets, make_optimizers(cfg, 1))
+        ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), write=False)
+        restored = _restore_at(ckpt, state, args, workdir)
+        classify, _ = make_serving_fns(
+            cfg, nets, restored, zca_stats=_load_zca(cfg, workdir),
+            quantize=args.quantize,
+        )
+        b = int(args.batch_size or cfg.batch_size)
+        logits = batched_apply(jax.jit(classify), b, images)
+
+    logits = np.asarray(logits, np.float32)
+    e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+    probs = e / e.sum(axis=-1, keepdims=True)
+    labels = logits.argmax(axis=-1).astype(np.int32)
+    np.savez(args.out, logits=logits, probs=probs, labels=labels)
+    counts = np.bincount(labels, minlength=logits.shape[-1])
+    print(
+        f"predicted {len(labels)} images → {args.out} "
+        f"(class counts: {counts.tolist()})"
+    )
+
+
 def cmd_doctor(args):
     """Deployment diagnostics (beyond-parity extra — see doctor.py):
     device init (probed in a subprocess with a timeout, so a dead TPU
@@ -617,6 +699,25 @@ def main(argv=None):
                     help="serve the weight-only int8 PTQ variant "
                          "(checkpoint source only)")
     sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser("predict", help="batch-label raw images with the "
+                                        "trained classifier")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--workdir", default=None)
+    sp.add_argument("--data-dir", default=None)
+    sp.add_argument("--set", action="append", metavar="KEY=VALUE")
+    step_arg(sp)
+    sp.add_argument("--input", required=True,
+                    help=".npy uint8 NHWC images (or .npz with an 'images' key)")
+    sp.add_argument("--out", default="predictions.npz",
+                    help="output .npz: logits, probs, labels")
+    sp.add_argument("--artifact", default=None,
+                    help="predict through an exported classifier .stablehlo "
+                         "instead of restoring the checkpoint")
+    sp.add_argument("--batch-size", type=int, default=None)
+    sp.add_argument("--quantize", default=None, choices=("int8",),
+                    help="weight-only int8 PTQ (checkpoint source only)")
+    sp.set_defaults(fn=cmd_predict)
 
     sp = sub.add_parser("doctor", help="diagnose the deployment: device, "
                                        "versions, config, data, mesh, ckpts")
