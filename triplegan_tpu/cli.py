@@ -487,6 +487,11 @@ def cmd_predict(args):
 
     images = load_images(args.input)
     if args.artifact:
+        if args.quantize:
+            sys.exit(
+                "--quantize applies to the checkpoint source; an artifact "
+                "is already quantized (or not) at export time"
+            )
         from triplegan_tpu.export import load_stablehlo_exported
 
         exp = load_stablehlo_exported(args.artifact)
