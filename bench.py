@@ -42,39 +42,26 @@ def _guard_device_init() -> None:
     bench initializes, so the one-device-process rule holds."""
     if os.environ.get("BENCH_SKIP_DEVICE_GUARD") == "1":
         return
-    import subprocess
-    import sys
+    from triplegan_tpu.doctor import check_device
 
     timeout_s = int(os.environ.get("BENCH_DEVICE_TIMEOUT", "600"))
-    try:
-        subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); import jax.numpy as jnp; "
-             "x = jnp.ones((8, 8)); float((x @ x).sum())"],
-            capture_output=True,
-            timeout=timeout_s,
-            check=True,
+    findings, _ = check_device(timeout_s)
+    if findings[0][0] == "ok":
+        return
+    print(
+        json.dumps(
+            {
+                "metric": "cifar10_4k_triplegan_3player_step_throughput",
+                "value": None,
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+                "error": findings[0][2]
+                + " — last recorded on-chip measurement: 8714 img/s"
+                " (BENCH_r02.json era HEAD + r3 journal, 2026-08-17)",
+            }
         )
-    except Exception as e:
-        reason = (
-            f"device init hung >{timeout_s}s (TPU tunnel outage)"
-            if isinstance(e, subprocess.TimeoutExpired)
-            else f"device init failed: {type(e).__name__}"
-        )
-        print(
-            json.dumps(
-                {
-                    "metric": "cifar10_4k_triplegan_3player_step_throughput",
-                    "value": None,
-                    "unit": "images/sec/chip",
-                    "vs_baseline": None,
-                    "error": reason
-                    + " — last recorded on-chip measurement: 8714 img/s"
-                    " (BENCH_r02.json era HEAD + r3 journal, 2026-08-17)",
-                }
-            )
-        )
-        raise SystemExit(0)
+    )
+    raise SystemExit(0)
 
 
 def main() -> None:

@@ -276,3 +276,20 @@ def test_cli_predict_checkpoint_and_artifact_agree(trained_workdir, tmp_path, ca
     # no source → clean exit
     with pytest.raises(SystemExit, match="--config .* or --artifact"):
         main(["predict", "--input", inp, "--out", str(tmp_path / "p4.npz")])
+
+
+def test_cli_predict_input_error_paths(tmp_path):
+    """Review regressions: empty input, missing file, and the export
+    npz+quantize conflict all exit cleanly."""
+    import numpy as np
+
+    empty = str(tmp_path / "empty.npy")
+    np.save(empty, np.zeros((0, 16, 16, 1), np.uint8))
+    with pytest.raises(SystemExit, match="0 images"):
+        main(["predict", "--artifact", "x.stablehlo", "--input", empty])
+    with pytest.raises(SystemExit, match="no such input file"):
+        main(["predict", "--artifact", "x.stablehlo",
+              "--input", str(tmp_path / "nope.npy")])
+    with pytest.raises(SystemExit, match="npz stores the raw"):
+        main(["export", "--config", "mnist100", "--workdir", str(tmp_path),
+              "--format", "npz", "--quantize", "int8", *TINY])

@@ -74,9 +74,48 @@ def test_check_workdir_torn_tmp(tmp_path):
 
 def test_check_device_cpu_probe(monkeypatch):
     monkeypatch.setenv("TRIPLEGAN_DOCTOR_CPU", "1")
-    findings = check_device(timeout_s=300)
+    findings, visible = check_device(timeout_s=300)
     assert findings[0][0] == "ok", findings
     assert "cpu" in findings[0][2]
+    assert visible and visible >= 1  # the count feeds check_mesh
+
+
+def test_run_doctor_feeds_visible_devices_to_mesh(monkeypatch, tmp_path):
+    """Review regression: the device probe's parsed device count must reach
+    check_mesh — an 8-device mesh on a 1-device box is a doctor FAIL."""
+    import triplegan_tpu.doctor as doc
+
+    monkeypatch.setattr(
+        doc, "check_device", lambda t: ([("ok", "device", "1 cpu device(s)")], 1)
+    )
+    cfg = tiny_config()
+    cfg.workdir = str(tmp_path)
+    cfg.mesh_shape = (8,)
+    cfg.batch_size = 16
+    findings = run_doctor(cfg, str(tmp_path / cfg.name), skip_device=False)
+    assert any(
+        lv == "fail" and "only 1 visible" in m for lv, n, m in findings if n == "mesh"
+    ), findings
+
+
+def test_check_versions_survives_broken_import(monkeypatch):
+    """Review regression: a missing package is a fail FINDING, not an
+    ImportError traceback."""
+    import importlib
+
+    from triplegan_tpu.doctor import check_versions
+
+    real = importlib.import_module
+
+    def broken(name, *a, **kw):
+        if name.startswith("orbax"):
+            raise ImportError("no module named orbax")
+        return real(name, *a, **kw)
+
+    monkeypatch.setattr(importlib, "import_module", broken)
+    findings = check_versions()
+    assert any(lv == "fail" and "orbax" in m for lv, _, m in findings)
+    assert any(lv == "ok" for lv, _, _ in findings)  # the others still report
 
 
 def test_cli_doctor_exit_codes(tmp_path, capsys):

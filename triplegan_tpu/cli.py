@@ -379,6 +379,11 @@ def cmd_export(args):
     from triplegan_tpu.train.schedule import make_optimizers
     from triplegan_tpu.train.state import create_state
 
+    if args.quantize and args.format == "npz":  # before any restore work
+        sys.exit(
+            "--quantize applies to traced artifacts (stablehlo/savedmodel); "
+            "npz stores the raw f32 parameters"
+        )
     cfg = apply_runtime(_load_cfg(args))
     workdir = os.path.join(cfg.workdir, cfg.name)
     nets = make_networks(cfg)
@@ -473,7 +478,12 @@ def cmd_predict(args):
     from triplegan_tpu.serve import batched_apply
 
     def load_images(path):
-        arr = np.load(path, allow_pickle=False)
+        try:
+            arr = np.load(path, allow_pickle=False)
+        except FileNotFoundError:
+            sys.exit(f"{path}: no such input file")
+        except Exception as e:
+            sys.exit(f"{path}: not a readable .npy/.npz ({e})")
         if not isinstance(arr, np.ndarray):  # .npz
             if "images" not in arr:
                 sys.exit(f"{path}: .npz input must contain an 'images' array")
@@ -483,6 +493,8 @@ def cmd_predict(args):
                 f"{path}: images must be uint8 [N,H,W,C], got {arr.dtype} "
                 f"{arr.shape}"
             )
+        if len(arr) == 0:
+            sys.exit(f"{path}: input holds 0 images")
         return arr
 
     images = load_images(args.input)
@@ -733,8 +745,10 @@ def main(argv=None):
     sp.add_argument("--set", action="append", metavar="KEY=VALUE")
     sp.add_argument("--skip-device", action="store_true",
                     help="skip the subprocess device-init probe")
-    sp.add_argument("--device-timeout", type=int, default=120,
-                    help="seconds before the device probe is declared hung")
+    sp.add_argument("--device-timeout", type=int, default=600,
+                    help="seconds before the device probe is declared hung "
+                         "(default covers this hardware's documented 1-10 "
+                         "min healthy startup stalls)")
     sp.set_defaults(fn=cmd_doctor)
 
     sp = sub.add_parser("prepare", help="convert raw dataset files to npz shards")

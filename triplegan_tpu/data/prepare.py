@@ -156,6 +156,11 @@ def prepare_svhn(raw_dir: str, out_dir: str) -> None:
 
     x_tr, y_tr = read("train")
     x_te, y_te = read("test")
+    for split, x, y in (("train", x_tr, y_tr), ("test", x_te, y_te)):
+        if len(x) != len(y):
+            raise ValueError(
+                f"svhn {split}_32x32.mat: {len(x)} images but {len(y)} labels"
+            )
     _save(out_dir, "svhn", "train", x_tr, y_tr)
     _save(out_dir, "svhn", "test", x_te, y_te)
 
@@ -188,6 +193,12 @@ def prepare_stl10(raw_dir: str, out_dir: str) -> None:
     y_tr = read_labels(os.path.join(bdir, "train_y.bin"))
     x_te = read_images(os.path.join(bdir, "test_X.bin"))
     y_te = read_labels(os.path.join(bdir, "test_y.bin"))
+    for split, x, y in (("train", x_tr, y_tr), ("test", x_te, y_te)):
+        if len(x) != len(y):
+            raise ValueError(
+                f"stl10 {split}: {len(x)} images in {split}_X.bin but "
+                f"{len(y)} labels in {split}_y.bin"
+            )
     # STL-10's 100k unlabeled images live in unlabeled_X.bin; fold them into
     # the train images with label -1 when present.
     unl = os.path.join(bdir, "unlabeled_X.bin")

@@ -44,9 +44,14 @@ print("DOCTOR_DEVICES", jax.default_backend(), len(ds))
 """
 
 
-def check_device(timeout_s: int = 120) -> List[Finding]:
+def check_device(timeout_s: int = 600):
     """Probe PJRT init + one tiny compile in a subprocess (see module
-    docstring for why in-process probing is wrong on TPU VMs)."""
+    docstring for why in-process probing is wrong on TPU VMs). The default
+    timeout covers this hardware class's documented healthy startup stalls
+    of 1–10 min — a shorter one misdiagnoses a slow-but-working tunnel.
+
+    Returns ``(findings, visible_devices)`` — the count is None unless the
+    probe succeeded (run_doctor feeds it to :func:`check_mesh`)."""
     try:
         out = subprocess.run(
             [sys.executable, "-c", _DEVICE_PROBE],
@@ -61,27 +66,40 @@ def check_device(timeout_s: int = 120) -> List[Finding]:
             f"device init hung >{timeout_s}s — on a TPU VM this is the "
             "driver/tunnel, not this framework; retry later or set "
             "TRIPLEGAN_DOCTOR_CPU=1 to check the CPU path",
-        )]
+        )], None
     for line in out.stdout.splitlines():
         if line.startswith("DOCTOR_DEVICES"):
             _, backend, n = line.split()
-            return [("ok", "device", f"{n} {backend} device(s), tiny matmul ran")]
+            return [
+                ("ok", "device", f"{n} {backend} device(s), tiny matmul ran")
+            ], int(n)
     tail = (out.stderr or out.stdout).strip().splitlines()
-    return [("fail", "device", f"device probe failed: {tail[-1] if tail else 'no output'}")]
+    return [(
+        "fail", "device", f"device probe failed: {tail[-1] if tail else 'no output'}"
+    )], None
 
 
 def check_versions() -> List[Finding]:
-    import jax
-    import jaxlib
-    import numpy
-    import orbax.checkpoint as ocp
+    # A broken install is a thing the doctor exists to DIAGNOSE — a missing
+    # package must become a fail finding, not an ImportError traceback.
+    parts, findings = [], []
+    for label, mod in (
+        ("jax", "jax"),
+        ("jaxlib", "jaxlib"),
+        ("numpy", "numpy"),
+        ("orbax", "orbax.checkpoint"),
+    ):
+        try:
+            import importlib
 
-    return [(
-        "ok",
-        "versions",
-        f"jax {jax.__version__}, jaxlib {jaxlib.__version__}, "
-        f"numpy {numpy.__version__}, orbax {ocp.__version__}",
-    )]
+            parts.append(f"{label} {importlib.import_module(mod).__version__}")
+        except Exception as e:
+            findings.append(
+                ("fail", "versions", f"{label} unavailable: {type(e).__name__}: {e}")
+            )
+    if parts:
+        findings.insert(0, ("ok", "versions", ", ".join(parts)))
+    return findings
 
 
 def check_config(cfg, workdir: str) -> List[Finding]:
@@ -199,15 +217,17 @@ def check_workdir(workdir: str) -> List[Finding]:
 
 
 def run_doctor(cfg=None, workdir: str = None, skip_device: bool = False,
-               device_timeout_s: int = 120) -> List[Finding]:
+               device_timeout_s: int = 600) -> List[Finding]:
     findings: List[Finding] = []
     findings += check_versions()
+    visible = None
     if not skip_device:
-        findings += check_device(device_timeout_s)
+        device_findings, visible = check_device(device_timeout_s)
+        findings += device_findings
     if cfg is not None:
         findings += check_config(cfg, workdir)
         findings += check_data(cfg)
-        findings += check_mesh(cfg)
+        findings += check_mesh(cfg, visible_devices=visible)
         findings += check_workdir(workdir)
     return findings
 

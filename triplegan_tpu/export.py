@@ -52,8 +52,9 @@ def quantize_int8(params):
     affines, and other 1-D arrays stay float32. Symmetric round-to-nearest
     with the scale chosen so max|w| maps to 127 — reconstruction error is
     ≤ scale/2 per element. The exported StableHLO then embeds int8
-    constants: ~4× smaller artifacts and ~4× less weight HBM traffic at
-    serve time; activations/compute are unchanged."""
+    constants: measured 3.7× smaller artifacts. (Weight-HBM savings at
+    serve time depend on the runtime — XLA may constant-fold the dequant;
+    unmeasured, see DESIGN.md.) Activations/compute are unchanged."""
 
     def enc(w):
         w = np.asarray(w)
