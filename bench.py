@@ -21,6 +21,10 @@ BENCH_STEPS × BENCH_SCAN train steps), BENCH_DEVICE_DATA (default 1 —
 HBM-resident dataset; 0 = host-fed double-buffered pipeline, where
 BENCH_SCAN is forced to 1), BENCH_RBG, BENCH_FUSED_CLF, BENCH_PALLAS,
 BENCH_NO_AUG, BENCH_NO_ZCA, BENCH_CONFIG, BENCH_PROFILE.
+
+Robustness: device init is probed first in a subprocess with a timeout
+(BENCH_DEVICE_TIMEOUT, default 600 s; skip with BENCH_SKIP_DEVICE_GUARD=1)
+— a dead TPU tunnel yields one honest error-JSON line instead of a hang.
 """
 
 from __future__ import annotations
