@@ -40,10 +40,10 @@ for label, stats, quant in (
     )
     cl = jax.jit(classify)
     print(f"-- classify, {label} --")
-    for b in (256, 512, 1024):
+    for b in [int(x) for x in os.environ.get("SERVE_BENCH_BATCHES", "256,512,1024").split(",")]:
         imgs = jnp.asarray(rng.randint(0, 256, size=(b, 32, 32, 3)), jnp.uint8)
         out = cl(imgs); float(out[0, 0])  # compile + fence
-        n_iter = 50
+        n_iter = int(os.environ.get("SERVE_BENCH_ITERS", "50"))
         t0 = time.perf_counter()
         for _ in range(n_iter):
             out = cl(imgs)
@@ -75,7 +75,7 @@ if "--http" in sys.argv:
 
     from triplegan_tpu.serve import app_from_state, make_server
 
-    for bsz in (256, 512):
+    for bsz in [int(x) for x in os.environ.get("SERVE_BENCH_HTTP_BATCHES", "256,512").split(",")]:
         app = app_from_state(cfg, nets, state, zca_stats=zca, batch_size=bsz)
         server = make_server(app, port=0)
         t = threading.Thread(target=server.serve_forever, daemon=True)
@@ -94,7 +94,7 @@ if "--http" in sys.argv:
                 return np.load(io.BytesIO(r.read()))
 
         call()  # compile + warm
-        n_iter = 50
+        n_iter = int(os.environ.get("SERVE_BENCH_ITERS", "50"))
         t0 = time.perf_counter()
         for _ in range(n_iter):
             out = call()
