@@ -390,3 +390,87 @@ def test_app_from_state_quantized_close_to_f32():
     # fresh-init logits are near-tied, so argmax may flip between ~equal
     # classes; the contract is the small weight-space drift bound
     assert np.max(np.abs(a - q)) < 0.05
+
+
+def test_reload_swaps_fns_and_step():
+    """POST /reload semantics at the app level: fns swap atomically under
+    the device lock, step updates, artifact apps refuse."""
+    calls = {"n": 0}
+
+    def reloader():
+        calls["n"] += 1
+        return {
+            "classify": lambda imgs: np.full((imgs.shape[0], 3), calls["n"], np.float32),
+            "step": 100 * calls["n"],
+        }
+
+    app = ServingApp(
+        classify=lambda imgs: np.zeros((imgs.shape[0], 3), np.float32),
+        classify_batch=4,
+        image_shape=(8, 8, 1),
+        reloader=reloader,
+    )
+    imgs = np.zeros((4, 8, 8, 1), np.uint8)
+    assert app.do_classify(imgs)[0, 0] == 0.0
+    out = app.do_reload()
+    assert out == {"reloaded": True, "step": 100}
+    assert app.do_classify(imgs)[0, 0] == 1.0
+    assert app.counters["reload"] == 1
+
+    no_reload = ServingApp(classify=lambda x: x, classify_batch=4)
+    with pytest.raises(ValueError, match="no reload source"):
+        no_reload.do_reload()
+
+
+def test_http_reload_serves_newer_checkpoint(tmp_path):
+    """End-to-end: save a newer checkpoint while the server runs, POST
+    /reload, and the served logits become the new checkpoint's."""
+    import urllib.request
+
+    from triplegan_tpu.ckpt import CheckpointManager
+    from triplegan_tpu.serve import make_checkpoint_reloader
+
+    cfg = tiny_config()
+    nets = make_networks(cfg)
+    state = create_state(cfg, nets, make_optimizers(cfg, 1)).replace(step=1)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state)
+    mgr.wait()
+
+    ro = CheckpointManager(str(tmp_path / "ckpt"), write=False)
+    first = ro.restore(state)
+    app = app_from_state(
+        cfg, nets, first, batch_size=4, meta={"step": int(first.step)},
+        reloader=make_checkpoint_reloader(cfg, nets, ro, state),
+    )
+    server = make_server(app, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = "http://127.0.0.1:%d" % server.server_address[1]
+    try:
+        imgs = np.random.RandomState(0).randint(
+            0, 256, size=(4, 16, 16, 3)
+        ).astype(np.uint8)
+        _, _, body = _post(base + "/classify", _npy(imgs), "application/x-npy")
+        before = np.load(io.BytesIO(body))
+
+        # a "training run" writes a newer checkpoint with shifted params
+        import jax
+
+        bumped = state.replace(
+            params=jax.tree.map(lambda a: a + 0.05, state.params), step=2
+        )
+        mgr.save(2, bumped)
+        mgr.wait()
+
+        _, _, body = _post(base + "/reload", b"", "application/json")
+        assert json.loads(body) == {"reloaded": True, "step": 2}
+        _, _, body = _post(base + "/classify", _npy(imgs), "application/x-npy")
+        after = np.load(io.BytesIO(body))
+        assert np.abs(after - before).max() > 1e-4  # genuinely new weights
+        h = json.loads(urllib.request.urlopen(base + "/healthz", timeout=60).read())
+        assert h["step"] == 2 and "reload" in h["endpoints"]
+    finally:
+        server.shutdown()
+        server.server_close()
+        t.join(timeout=10)

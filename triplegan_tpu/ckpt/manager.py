@@ -60,6 +60,13 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()
 
+    def refresh(self) -> None:
+        """Re-scan the directory: orbax caches the step list at open, so a
+        long-lived restore-only manager (the serve `/reload` path) would
+        otherwise never see checkpoints written by a concurrent training
+        run."""
+        self._mngr.reload()
+
     def wait(self) -> None:
         self._mngr.wait_until_finished()
 

@@ -430,6 +430,7 @@ def cmd_serve(args):
     elif args.config:
         from triplegan_tpu.ckpt import CheckpointManager
         from triplegan_tpu.configs.base import apply_runtime, make_networks
+        from triplegan_tpu.serve import make_checkpoint_reloader
         from triplegan_tpu.train.schedule import make_optimizers
         from triplegan_tpu.train.state import create_state
 
@@ -439,16 +440,22 @@ def cmd_serve(args):
         state = create_state(cfg, nets, make_optimizers(cfg, 1))
         ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), write=False)
         restored = _restore_at(ckpt, state, args, workdir)
+        zca = _load_zca(cfg, workdir)
         app = app_from_state(
             cfg,
             nets,
             restored,
-            zca_stats=_load_zca(cfg, workdir),
+            zca_stats=zca,
             batch_size=args.batch_size,
             quantize=args.quantize,
             meta={"source": "checkpoint", "config": cfg.name,
                   "step": int(restored.step),
                   **({"quantize": args.quantize} if args.quantize else {})},
+            # POST /reload hot-swaps to the run dir's newest checkpoint
+            # (serve alongside a live training run).
+            reloader=make_checkpoint_reloader(
+                cfg, nets, ckpt, state, zca_stats=zca, quantize=args.quantize
+            ),
         )
     else:
         sys.exit("serve needs --config (run dir) or --classifier/--generator "

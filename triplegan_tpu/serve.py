@@ -86,6 +86,7 @@ class ServingApp:
         z_dim: int = 0,
         num_classes: int = 0,
         meta: Optional[dict] = None,
+        reloader: Optional[Callable] = None,  # () -> {"classify","generate","step"}
     ):
         if classify is None and generate is None:
             raise ValueError("nothing to serve: no classify or generate fn")
@@ -97,8 +98,9 @@ class ServingApp:
         self.z_dim = int(z_dim)
         self.num_classes = int(num_classes)
         self.meta = dict(meta or {})
+        self.reloader = reloader
         self.device_lock = threading.Lock()
-        self.counters = {"classify": 0, "generate": 0, "errors": 0}
+        self.counters = {"classify": 0, "generate": 0, "reload": 0, "errors": 0}
         self._counter_lock = threading.Lock()  # handler threads race on +=
 
     def count(self, key: str):
@@ -117,7 +119,11 @@ class ServingApp:
             "backend": jax.default_backend(),
             "endpoints": [
                 e
-                for e, fn in (("classify", self.classify), ("generate", self.generate))
+                for e, fn in (
+                    ("classify", self.classify),
+                    ("generate", self.generate),
+                    ("reload", self.reloader),
+                )
                 if fn is not None
             ],
             "classify_batch": self.classify_batch,
@@ -166,6 +172,25 @@ class ServingApp:
             imgs = np.clip((np.asarray(imgs, np.float32) + 1.0) * 127.5, 0, 255)
             imgs = imgs.astype(np.uint8)
         return imgs
+
+    def do_reload(self) -> dict:
+        """Hot-swap to the latest checkpoint (serve-during-training): the
+        reloader re-restores and rebuilds the compiled fns; the swap happens
+        under the device lock so in-flight requests finish on the old
+        weights and later ones see the new — never a mix."""
+        if self.reloader is None:
+            raise ValueError(
+                "this server has no reload source (artifact-served programs "
+                "are immutable; reload serves checkpoint-sourced runs)"
+            )
+        fresh = self.reloader()  # restore OUTSIDE the lock: serving continues
+        with self.device_lock:
+            self.classify = fresh.get("classify", self.classify)
+            self.generate = fresh.get("generate", self.generate)
+            if "step" in fresh:
+                self.meta["step"] = int(fresh["step"])
+        self.count("reload")
+        return {"reloaded": True, "step": self.meta.get("step")}
 
     def generate_from_json(self, req: dict) -> np.ndarray:
         n = int(req.get("n", 0) or (len(req["y"]) if "y" in req else 0))
@@ -255,6 +280,8 @@ def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
                 if route == "/classify":
                     out = app.do_classify(_load_npy(body))
                     self._send(200, _npy_bytes(out), "application/x-npy")
+                elif route == "/reload":
+                    self._send_json(200, app.do_reload())
                 elif route == "/generate":
                     ctype = (self.headers.get("Content-Type") or "").lower()
                     if "json" in ctype:
@@ -284,11 +311,14 @@ def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
 
 
 def app_from_state(
-    cfg, nets, state, zca_stats=None, batch_size: int = 0, meta=None, quantize=None
+    cfg, nets, state, zca_stats=None, batch_size: int = 0, meta=None,
+    quantize=None, reloader=None,
 ):
     """Serve directly from an in-memory restored state: jit the
     :func:`export.make_serving_fns` pair at a static batch size.
-    ``quantize="int8"`` serves the weight-only-PTQ variant."""
+    ``quantize="int8"`` serves the weight-only-PTQ variant. ``reloader``
+    (optional) enables ``POST /reload`` hot-swapping — see
+    :func:`make_checkpoint_reloader`."""
     import jax
 
     from triplegan_tpu.export import make_serving_fns
@@ -306,7 +336,35 @@ def app_from_state(
         z_dim=cfg.z_dim,
         num_classes=cfg.num_classes,
         meta=meta,
+        reloader=reloader,
     )
+
+
+def make_checkpoint_reloader(cfg, nets, ckpt, template, zca_stats=None,
+                             quantize=None):
+    """A :class:`ServingApp` reloader that re-restores the run dir's LATEST
+    checkpoint and rebuilds the serving fns — ``POST /reload`` then serves
+    a live training run's newest weights without restarting the server."""
+    import jax
+
+    from triplegan_tpu.export import make_serving_fns
+
+    def reload():
+        ckpt.refresh()  # orbax caches the step list at open; re-scan so a
+        # concurrent training run's NEW checkpoints are visible
+        fresh = ckpt.restore(template, step=None)
+        if fresh is None:
+            raise ValueError("no checkpoint to reload")
+        classify, generate = make_serving_fns(
+            cfg, nets, fresh, zca_stats=zca_stats, quantize=quantize
+        )
+        return {
+            "classify": jax.jit(classify),
+            "generate": jax.jit(generate),
+            "step": int(fresh.step),
+        }
+
+    return reload
 
 
 def app_from_artifacts(
