@@ -474,3 +474,22 @@ def test_http_reload_serves_newer_checkpoint(tmp_path):
         server.shutdown()
         server.server_close()
         t.join(timeout=10)
+
+
+def test_http_metrics_prometheus_format(live_server):
+    import urllib.request
+
+    *_, base = live_server
+    # bump a counter first
+    imgs = np.zeros((4, 16, 16, 3), np.uint8)
+    _post(base + "/classify", _npy(imgs), "application/x-npy")
+    with urllib.request.urlopen(base + "/metrics", timeout=60) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert "# TYPE triplegan_requests_total counter" in text
+    assert 'triplegan_requests_total{endpoint="classify"}' in text
+    assert 'triplegan_serving_batch{fn="classify"} 4' in text
+    # counter values parse as integers and classify >= 1
+    for line in text.splitlines():
+        if line.startswith('triplegan_requests_total{endpoint="classify"}'):
+            assert int(line.rsplit(" ", 1)[1]) >= 1

@@ -173,6 +173,33 @@ class ServingApp:
             imgs = imgs.astype(np.uint8)
         return imgs
 
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of the request counters (plus serving
+        metadata as gauge labels) — `GET /metrics` scrapes straight into a
+        standard monitoring stack, no exporter needed."""
+        with self._counter_lock:
+            counters = dict(self.counters)
+        lines = [
+            "# HELP triplegan_requests_total Requests served, by endpoint.",
+            "# TYPE triplegan_requests_total counter",
+        ]
+        for k, v in sorted(counters.items()):
+            lines.append(f'triplegan_requests_total{{endpoint="{k}"}} {v}')
+        lines += [
+            "# HELP triplegan_serving_batch Static compiled batch size.",
+            "# TYPE triplegan_serving_batch gauge",
+            f'triplegan_serving_batch{{fn="classify"}} {self.classify_batch}',
+            f'triplegan_serving_batch{{fn="generate"}} {self.generate_batch}',
+        ]
+        step = self.meta.get("step")
+        if step is not None:
+            lines += [
+                "# HELP triplegan_checkpoint_step Step of the served checkpoint.",
+                "# TYPE triplegan_checkpoint_step gauge",
+                f"triplegan_checkpoint_step {int(step)}",
+            ]
+        return "\n".join(lines) + "\n"
+
     def do_reload(self) -> dict:
         """Hot-swap to the latest checkpoint (serve-during-training): the
         reloader re-restores and rebuilds the compiled fns; the swap happens
@@ -268,8 +295,14 @@ def make_server(app: ServingApp, host: str = "127.0.0.1", port: int = 0):
             return self.rfile.read(length) if length else b""
 
         def do_GET(self):
-            if self.path.split("?")[0] in ("/healthz", "/"):
+            route = self.path.split("?")[0]
+            if route in ("/healthz", "/"):
                 self._send_json(200, app.health())
+            elif route == "/metrics":
+                self._send(
+                    200, app.metrics_text().encode(),
+                    "text/plain; version=0.0.4",
+                )
             else:
                 self._send_json(404, {"error": f"no route {self.path}"})
 
