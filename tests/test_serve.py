@@ -493,3 +493,33 @@ def test_http_metrics_prometheus_format(live_server):
     for line in text.splitlines():
         if line.startswith('triplegan_requests_total{endpoint="classify"}'):
             assert int(line.rsplit(" ", 1)[1]) >= 1
+
+
+def test_http_fuzz_garbage_never_kills_the_server(live_server):
+    """50 random-garbage requests (random bodies, routes, content types)
+    must each produce an orderly HTTP error — and the server must still
+    serve real traffic afterwards."""
+    import urllib.request
+
+    *_, base = live_server
+    rng = np.random.RandomState(0)
+    routes = ["/classify", "/generate", "/reload", "/weird", "/"]
+    ctypes = ["application/x-npy", "application/json", "text/plain", ""]
+    for i in range(50):
+        body = bytes(rng.randint(0, 256, size=rng.randint(0, 200), dtype=np.uint8))
+        req = urllib.request.Request(
+            base + routes[i % len(routes)],
+            data=body,
+            headers={"Content-Type": ctypes[i % len(ctypes)]},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=60).read()
+        except urllib.error.HTTPError as e:
+            assert e.code in (400, 404, 500)
+            json.loads(e.read().decode())  # error body is always JSON
+    # still alive and numerically correct
+    imgs = np.random.RandomState(1).randint(
+        0, 256, size=(4, 16, 16, 3)
+    ).astype(np.uint8)
+    _, _, body = _post(base + "/classify", _npy(imgs), "application/x-npy")
+    assert np.isfinite(np.load(io.BytesIO(body))).all()
