@@ -71,6 +71,19 @@ def test_cli_eval_rejects_indivisible_mesh_batch(trained_workdir):
         ])
 
 
+def test_cli_platform_flag(trained_workdir, capsys):
+    """Every subcommand accepts --platform (the TPU plugin ignores
+    JAX_PLATFORMS; this and TRIPLEGAN_PLATFORM are the reliable CPU-forcing
+    overrides — the env form is proven in tests/test_parity_campaign.py
+    where CLI subprocesses must not touch the TPU backend)."""
+    import jax
+
+    main(["eval", "--config", "mnist100", "--workdir", trained_workdir,
+          *TINY, "--platform", "cpu"])
+    assert "test error:" in capsys.readouterr().out
+    assert jax.default_backend() == "cpu"
+
+
 def test_cli_sample_writes_png(trained_workdir, tmp_path):
     out = str(tmp_path / "grid.png")
     main([

@@ -769,7 +769,24 @@ def main(argv=None):
     )
     sp.set_defaults(fn=cmd_prepare)
 
+    # Every subcommand accepts --platform: the environment's TPU plugin
+    # ignores JAX_PLATFORMS, so this (or TRIPLEGAN_PLATFORM=cpu, which
+    # subprocesses inherit) is the reliable way to run CPU-side — eval/
+    # predict/serve on a CPU VM, or any command while the TPU is busy or
+    # its tunnel is dark. Must be applied before the first jax device use.
+    for sp_ in sub.choices.values():
+        sp_.add_argument(
+            "--platform", default=None, choices=("cpu", "tpu"),
+            help="force the JAX backend (default: auto; env fallback "
+                 "TRIPLEGAN_PLATFORM — the TPU plugin ignores JAX_PLATFORMS)",
+        )
+
     args = p.parse_args(argv)
+    platform = args.platform or os.environ.get("TRIPLEGAN_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     from triplegan_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
