@@ -73,7 +73,16 @@ def main() -> None:
 
     from triplegan_tpu.utils.cache import enable_compilation_cache
 
-    _guard_device_init()
+    # Same backend override as the CLI (the TPU plugin ignores
+    # JAX_PLATFORMS): TRIPLEGAN_PLATFORM=cpu runs the whole measurement
+    # path off-chip — a smoke test of the driver gate, not a TPU number
+    # (tests/test_doctor.py::test_bench_cpu_smoke). The device guard probes
+    # the DEFAULT backend, so it is skipped when the bench won't use it.
+    platform = os.environ.get("TRIPLEGAN_PLATFORM")
+    if platform:
+        _jax.config.update("jax_platforms", platform)
+    if platform != "cpu":
+        _guard_device_init()
 
     enable_compilation_cache()
     if os.environ.get("BENCH_RBG", "1") == "1":
@@ -254,6 +263,7 @@ def main() -> None:
                     "scan_steps": scan_steps,
                     "data_on_device": on_device,
                     "share_pseudo_forward": cfg.share_pseudo_forward,
+                    **({"platform": platform} if platform else {}),
                 },
             }
         )

@@ -153,3 +153,42 @@ def test_bench_device_guard_emits_error_json(monkeypatch, capsys):
     # and the skip knob really skips
     monkeypatch.setenv("BENCH_SKIP_DEVICE_GUARD", "1")
     bench._guard_device_init()  # no SystemExit, no probe
+
+
+def test_bench_cpu_smoke():
+    """The WHOLE driver-gate path (`python bench.py`) measured off-chip via
+    TRIPLEGAN_PLATFORM=cpu: one well-formed JSON line with the throughput,
+    MFU-context fields, and the non-default-settings echo. Protects the
+    bench artifact's schema (VERDICT r2 next-step #2) against regressions
+    without touching the TPU backend."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        TRIPLEGAN_PLATFORM="cpu",
+        BENCH_CONFIG="mnist100",
+        BENCH_BATCH="8",
+        BENCH_STEPS="1",
+        BENCH_SCAN="2",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env, cwd=repo, check=True, timeout=540,
+    ).stdout
+    parsed = json.loads(out.strip().splitlines()[-1])
+    assert parsed["metric"] == "mnist100_triplegan_3player_step_throughput"
+    assert parsed["unit"] == "images/sec/chip"
+    assert parsed["value"] > 0 and parsed["vs_baseline"] > 0
+    assert parsed["device_ms_per_step"] > 0
+    cfgecho = parsed["config"]
+    assert cfgecho["batch"] == 8 and cfgecho["scan_steps"] == 2
+    assert cfgecho["platform"] == "cpu"
+    # MFU context fields exist (may be null only if the cost model is
+    # unavailable on the backend; CPU provides it)
+    assert parsed["model_tflops_per_step"] > 0
+    assert parsed["mfu"] is not None and parsed["peak_tflops"] > 0
