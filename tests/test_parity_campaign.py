@@ -82,6 +82,21 @@ def test_campaign_parse_error():
         mod.parse_error("nothing useful")
 
 
+def test_run_cli_failure_surfaces_child_output(tmp_path, capsys, monkeypatch):
+    """A failing captured (eval) leg must print the child's output before
+    raising, not die with a bare CalledProcessError."""
+    import subprocess
+
+    monkeypatch.setenv("TRIPLEGAN_PLATFORM", "cpu")
+    mod = _campaign()
+    with pytest.raises(subprocess.CalledProcessError) as ei:
+        # 'definitely-not-a-subcommand' makes the CLI print usage and exit 2
+        mod.run_cli(["definitely-not-a-subcommand"])
+    out = capsys.readouterr().out
+    assert "definitely-not-a-subcommand" in out  # child's stderr→stdout shown
+    assert ei.value.output  # and preserved on the exception
+
+
 def test_campaign_tiny_end_to_end(tmp_path, monkeypatch):
     """A real 2-seed campaign on the synthetic dataset: subprocess CLI
     trains + evals, summary JSON with per-seed errors and the FAIL verdict

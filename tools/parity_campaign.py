@@ -58,10 +58,16 @@ def run_cli(args: list[str], log_path: str | None = None) -> str:
             )
         return ""
     proc = subprocess.run(
-        cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, check=True,
-        text=True, env=env,
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env,
     )
     sys.stdout.write(proc.stdout)
+    if proc.returncode != 0:
+        # Surface the child's output BEFORE raising — a failing eval leg in
+        # an hours-long campaign must not die with a bare traceback.
+        raise subprocess.CalledProcessError(
+            proc.returncode, cmd, output=proc.stdout
+        )
     return proc.stdout
 
 
