@@ -71,17 +71,43 @@ def test_cli_eval_rejects_indivisible_mesh_batch(trained_workdir):
         ])
 
 
-def test_cli_platform_flag(trained_workdir, capsys):
+def test_cli_platform_flag(trained_workdir, capsys, monkeypatch):
     """Every subcommand accepts --platform (the TPU plugin ignores
     JAX_PLATFORMS; this and TRIPLEGAN_PLATFORM are the reliable CPU-forcing
     overrides — the env form is proven in tests/test_parity_campaign.py
-    where CLI subprocesses must not touch the TPU backend)."""
+    where CLI subprocesses must not touch the TPU backend). conftest
+    already forces the cpu backend session-wide, so asserting the backend
+    would be vacuous — instead record the actual config update and the
+    env export that subprocesses (doctor probe, campaign legs) rely on."""
     import jax
 
+    # setenv-then-delenv records the original state with monkeypatch, so
+    # the env export main() performs below is undone at teardown.
+    monkeypatch.setenv("TRIPLEGAN_PLATFORM", "sentinel")
+    monkeypatch.delenv("TRIPLEGAN_PLATFORM")
+    updates = []
+    real_update = jax.config.update
+    monkeypatch.setattr(
+        jax.config, "update",
+        lambda k, v: (updates.append((k, v)), real_update(k, v)),
+    )
     main(["eval", "--config", "mnist100", "--workdir", trained_workdir,
           *TINY, "--platform", "cpu"])
     assert "test error:" in capsys.readouterr().out
-    assert jax.default_backend() == "cpu"
+    assert ("jax_platforms", "cpu") in updates  # flag reached jax.config
+    # the resolved platform is exported for subprocesses (flag form too)
+    assert os.environ.get("TRIPLEGAN_PLATFORM") == "cpu"
+
+
+def test_cli_platform_env_validated(trained_workdir, monkeypatch, capsys):
+    """A typo'd TRIPLEGAN_PLATFORM fails fast with the same clear message
+    argparse gives the flag form, instead of dying inside JAX backend
+    resolution (or probing a dark TPU)."""
+    monkeypatch.setenv("TRIPLEGAN_PLATFORM", "CPU")
+    with pytest.raises(SystemExit):
+        main(["eval", "--config", "mnist100", "--workdir", trained_workdir,
+              *TINY])
+    assert "must be 'cpu' or 'tpu'" in capsys.readouterr().err
 
 
 def test_cli_sample_writes_png(trained_workdir, tmp_path):

@@ -80,6 +80,18 @@ def test_check_device_cpu_probe(monkeypatch):
     assert visible and visible >= 1  # the count feeds check_mesh
 
 
+def test_check_device_honors_platform_env(monkeypatch):
+    """--platform cpu (exported by the CLI as TRIPLEGAN_PLATFORM) must
+    reach the device-probe SUBPROCESS — during a tunnel outage the probe
+    would otherwise hang on the default TPU backend and misreport FAIL."""
+    monkeypatch.delenv("TRIPLEGAN_DOCTOR_CPU", raising=False)
+    monkeypatch.setenv("TRIPLEGAN_PLATFORM", "cpu")
+    findings, visible = check_device(timeout_s=300)
+    assert findings[0][0] == "ok", findings
+    assert "cpu" in findings[0][2]
+    assert visible and visible >= 1
+
+
 def test_run_doctor_feeds_visible_devices_to_mesh(monkeypatch, tmp_path):
     """Review regression: the device probe's parsed device count must reach
     check_mesh — an 8-device mesh on a 1-device box is a doctor FAIL."""

@@ -33,29 +33,39 @@ import shlex
 import subprocess
 import sys
 
-# tools/ scripts run without a pip install: the repo root is one level up.
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# tools/ scripts run without a pip install: the repo root is one level up
+# (children also need it on PYTHONPATH — see run_cli).
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 ERROR_RE = re.compile(r"test error: ([0-9.]+)%")
+
+
+def cli_cmd(args: list[str]) -> list[str]:
+    """The exact stage command — shared by --dry-run and execution so the
+    printed plan can never diverge from what actually runs."""
+    return [sys.executable, "-m", "triplegan_tpu.cli", *args]
 
 
 def run_cli(args: list[str], log_path: str | None = None) -> str:
     """Run one ``python -m triplegan_tpu.cli ...`` stage; stream output to
     ``log_path`` (train legs run for hours) or capture it (eval legs).
     Returns captured stdout ('' when logging to a file)."""
-    cmd = [sys.executable, "-m", "triplegan_tpu.cli", *args]
+    cmd = cli_cmd(args)
     print("+ " + shlex.join(cmd), flush=True)
     env = dict(os.environ)
-    # Children must import triplegan_tpu even when the package isn't
-    # pip-installed and the caller's cwd is elsewhere: this script lives in
-    # <repo>/tools/, so <repo> is one level up.
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     if log_path:
         with open(log_path, "a") as log:
-            subprocess.run(
-                cmd, stdout=log, stderr=subprocess.STDOUT, check=True, env=env
+            proc = subprocess.run(
+                cmd, stdout=log, stderr=subprocess.STDOUT, env=env
             )
+        if proc.returncode != 0:
+            # Name the log that holds the actual error — an unattended
+            # campaign must not die with a bare CalledProcessError.
+            print(f"stage failed (rc={proc.returncode}) — see {log_path}",
+                  file=sys.stderr, flush=True)
+            raise subprocess.CalledProcessError(proc.returncode, cmd)
         return ""
     proc = subprocess.run(
         cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
@@ -117,6 +127,10 @@ def main(argv=None) -> int:
     seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
     if not seeds:
         p.error("--seeds is empty")
+    if len(set(seeds)) != len(seeds):
+        # Duplicates would silently collapse in the per-seed dict and the
+        # summary would present an N-seed verdict computed over fewer runs.
+        p.error(f"--seeds has duplicates: {seeds}")
     for kv in args.sets:
         key = kv.split("=", 1)[0]
         if key == "seed":
@@ -144,15 +158,17 @@ def main(argv=None) -> int:
         stages.append((train, os.path.join(args.workdir, f"seed{seed}.log")))
     for seed in seeds:
         seed_wd = os.path.join(args.workdir, f"seed{seed}")
-        # eval merges the run dir's persisted config.json (seed included);
-        # no --set repeats needed (PARITY.md §4).
+        # eval merges the run dir's persisted config.json (seed included),
+        # but EXECUTION-only keys (mesh_shape, data_on_device, scan_steps —
+        # configs/base.py EXEC_KEYS) are deliberately NOT persisted, so the
+        # campaign's --set overrides must ride along to eval too.
         stages.append((["eval", "--config", args.config, "--data-dir",
-                        args.data_dir, "--workdir", seed_wd], None))
+                        args.data_dir, "--workdir", seed_wd, *set_flags],
+                       None))
 
     if args.dry_run:
         for cli_args, _ in stages:
-            print("+ " + shlex.join([sys.executable, "-m", "triplegan_tpu.cli",
-                              *cli_args]))
+            print("+ " + shlex.join(cli_cmd(cli_args)))
         return 0
 
     os.makedirs(args.workdir, exist_ok=True)

@@ -64,18 +64,41 @@ def load_events(trace_path: str) -> list[dict]:
     return tr["traceEvents"]
 
 
-def device_op_events(events: list[dict]) -> list[dict]:
+# HLO container ops whose trace event SPANS its children (which are
+# separately present in the same lane): counting them double-counts the
+# whole loop body. Verified on a real TPU trace (2026-08-17 batch-384
+# final-defaults run): the scan's `while` op carries model_flops /
+# raw_bytes_accessed AND a duration covering all 20 body iterations —
+# 6.7 s of a 7.0 s trace.
+CONTAINER_CATEGORIES = {"while", "conditional", "call"}
+
+
+def device_op_events(events: list[dict]) -> tuple[list[dict], dict]:
     """X-phase events that carry XLA cost-model args — these are the
     device kernels. (Host/python lanes have no model_flops; the XLA
-    Modules lane's whole-program event has no raw_bytes_accessed either.)"""
+    Modules lane's whole-program events carry neither arg — verified on a
+    real TPU trace.) Control-flow container events (while/cond/call) are
+    excluded: their duration spans their children, which appear
+    separately. Returns (kernel_events, excluded_summary)."""
     out = []
+    excluded = {"n": 0, "us": 0.0, "names": set()}
     for e in events:
         if e.get("ph") != "X":
             continue
         args = e.get("args") or {}
-        if "model_flops" in args or "raw_bytes_accessed" in args:
-            out.append(e)
-    return out
+        if "model_flops" not in args and "raw_bytes_accessed" not in args:
+            continue
+        cat = str(args.get("hlo_category", "")).lower()
+        name = str(e.get("name", ""))
+        if cat in CONTAINER_CATEGORIES or (
+            not cat and name.split(".")[0] in CONTAINER_CATEGORIES
+        ):
+            excluded["n"] += 1
+            excluded["us"] += float(e.get("dur", 0.0))
+            excluded["names"].add(name)
+            continue
+        out.append(e)
+    return out, excluded
 
 
 def classify(e: dict) -> str:
@@ -92,8 +115,12 @@ def classify(e: dict) -> str:
 
 def audit(events: list[dict], mxu_tflops: float, hbm_gbps: float):
     """Returns (per_class, per_op) dicts: measured µs, bound µs, counts."""
-    per_class = defaultdict(lambda: {"us": 0.0, "bound_us": 0.0, "n": 0})
-    per_op = defaultdict(lambda: {"us": 0.0, "bound_us": 0.0, "n": 0})
+    per_class = defaultdict(
+        lambda: {"us": 0.0, "bound_us": 0.0, "clamped_us": 0.0, "n": 0}
+    )
+    per_op = defaultdict(
+        lambda: {"us": 0.0, "bound_us": 0.0, "clamped_us": 0.0, "n": 0}
+    )
     for e in events:
         args = e.get("args") or {}
         dur = float(e.get("dur", 0.0))  # trace-viewer durations are µs
@@ -104,6 +131,11 @@ def audit(events: list[dict], mxu_tflops: float, hbm_gbps: float):
         for bucket in (per_class[classify(e)], per_op[name]):
             bucket["us"] += dur
             bucket["bound_us"] += bound
+            # The cost model counts LOGICAL bytes; ops XLA made free
+            # (bitcast copies) or overlapped (async copy-done) can beat
+            # their "bound". Clamping per event gives a floor that only
+            # binds where it demonstrably binds.
+            bucket["clamped_us"] += min(dur, bound)
             bucket["n"] += 1
     return per_class, per_op
 
@@ -126,7 +158,7 @@ def main(argv=None) -> int:
     except FileNotFoundError as e:
         print(e, file=sys.stderr)
         return 1
-    ops = device_op_events(load_events(trace_path))
+    ops, excluded = device_op_events(load_events(trace_path))
     if not ops:
         print(f"no device op events with cost-model args in {trace_path}",
               file=sys.stderr)
@@ -139,15 +171,29 @@ def main(argv=None) -> int:
     unit = "ms/step" if args.steps else "ms total"
     print(f"trace: {trace_path}")
     print(f"ceilings: MXU {args.mxu_tflops} TF/s, HBM {args.hbm_gbps} GB/s")
+    if excluded["n"]:
+        names = ", ".join(sorted(excluded["names"])[:4])
+        print(f"excluded {excluded['n']} control-flow container event(s) "
+              f"spanning {fmt(excluded['us']).strip()} {unit} ({names}) — "
+              "their children are counted individually")
     print(f"{'class':36s} {unit:>9s} {'bound':>9s} {'% of bound':>10s} {'kernels':>8s}")
-    tot_us = tot_bound = 0.0
+    tot_us = tot_bound = tot_clamped = 0.0
     for cls, b in sorted(per_class.items(), key=lambda kv: -kv[1]["us"]):
         pct = 100.0 * b["bound_us"] / b["us"] if b["us"] else 0.0
-        print(f"{cls:36s} {fmt(b['us'])} {fmt(b['bound_us'])} {pct:9.1f}% {b['n']:8d}")
+        note = "  (bound not binding)" if b["bound_us"] > b["us"] else ""
+        print(f"{cls:36s} {fmt(b['us'])} {fmt(b['bound_us'])} {pct:9.1f}% "
+              f"{b['n']:8d}{note}")
         tot_us += b["us"]
         tot_bound += b["bound_us"]
+        tot_clamped += b["clamped_us"]
     pct = 100.0 * tot_bound / tot_us if tot_us else 0.0
     print(f"{'TOTAL':36s} {fmt(tot_us)} {fmt(tot_bound)} {pct:9.1f}%")
+    if tot_clamped:
+        print(f"{'TOTAL (bound clamped at measured)':36s} {fmt(tot_us)} "
+              f"{fmt(tot_clamped)} — step runs at "
+              f"{100.0 * tot_clamped / tot_us:.1f}% of its demonstrated "
+              "per-kernel floor (classes whose cost-model bytes never "
+              "materialize — bitcasts, async overlap — clamp to measured)")
     print(f"\ntop {args.top} ops by absolute headroom (measured − bound):")
     ranked = sorted(per_op.items(), key=lambda kv: kv[1]["bound_us"] - kv[1]["us"])
     for name, b in ranked[: args.top]:

@@ -784,6 +784,14 @@ def main(argv=None):
     args = p.parse_args(argv)
     platform = args.platform or os.environ.get("TRIPLEGAN_PLATFORM")
     if platform:
+        if platform not in ("cpu", "tpu"):
+            p.error(
+                f"TRIPLEGAN_PLATFORM must be 'cpu' or 'tpu', got {platform!r}"
+            )
+        # Export the RESOLVED platform so every subprocess this command
+        # spawns (doctor's device probe, campaign stages, serve workers)
+        # honors the --platform flag form too, not just the env form.
+        os.environ["TRIPLEGAN_PLATFORM"] = platform
         import jax
 
         jax.config.update("jax_platforms", platform)

@@ -33,9 +33,12 @@ Finding = Tuple[str, str, str]  # level, check, message
 
 _DEVICE_PROBE = """
 import os
+plat = os.environ.get("TRIPLEGAN_PLATFORM")  # set by cli --platform too
 if os.environ.get("TRIPLEGAN_DOCTOR_CPU") == "1":
+    plat = "cpu"
+if plat:
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", plat)
 import jax
 ds = jax.devices()
 import jax.numpy as jnp
@@ -64,8 +67,8 @@ def check_device(timeout_s: int = 600):
             "fail",
             "device",
             f"device init hung >{timeout_s}s — on a TPU VM this is the "
-            "driver/tunnel, not this framework; retry later or set "
-            "TRIPLEGAN_DOCTOR_CPU=1 to check the CPU path",
+            "driver/tunnel, not this framework; retry later, or check the "
+            "CPU path with --platform cpu (or TRIPLEGAN_DOCTOR_CPU=1)",
         )], None
     for line in out.stdout.splitlines():
         if line.startswith("DOCTOR_DEVICES"):
