@@ -45,9 +45,28 @@ def _resolve_data(cfg) -> SemiSupervisedData:
             num_labeled=cfg.num_labeled,
             seed=cfg.seed,
         )
-    return load_dataset(
+    data = load_dataset(
         cfg.data_dir, cfg.dataset, cfg.num_labeled, cfg.num_classes, cfg.seed
     )
+    # Fail HERE with the config keys to fix, not deep inside jit tracing
+    # with an opaque shape error — this is the contract custom (bring-your-
+    # own-npz) datasets are validated against (docs/MIGRATION.md).
+    want = (cfg.image_size, cfg.image_size, cfg.channels)
+    got = tuple(data.x_test.shape[1:])
+    if got != want:
+        raise ValueError(
+            f"dataset '{cfg.dataset}' images are {got}, but the config "
+            f"expects {want} — set --set image_size={got[0]} / "
+            f"--set channels={got[-1]} (networks are shape-generic)"
+        )
+    ymax = int(data.y_test.max())
+    if ymax >= cfg.num_classes:
+        raise ValueError(
+            f"dataset '{cfg.dataset}' has label {ymax} but "
+            f"num_classes={cfg.num_classes} — set --set num_classes="
+            f"{ymax + 1}"
+        )
+    return data
 
 
 def _resolve_zca(cfg, data: SemiSupervisedData, workdir: str) -> Optional[ZCAStats]:
