@@ -245,7 +245,9 @@ def main() -> None:
                 "metric": f"{cfg.name}_triplegan_3player_step_throughput",
                 "value": round(value, 2),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(value / baseline, 3),
+                # 4 significant digits, not fixed decimals: a slow CPU
+                # smoke run must not round a real nonzero ratio to 0.0.
+                "vs_baseline": float(f"{value / baseline:.4g}"),
                 "device_ms_per_step": round(ms_per_step, 3),
                 "model_tflops_per_step": (
                     round(tflops_per_step, 4) if tflops_per_step else None
