@@ -8,6 +8,8 @@ import pytest
 
 from triplegan_tpu.cli import main
 
+pytestmark = pytest.mark.slow  # multi-minute end-to-end drive
+
 TINY = [
     "--set", "dataset=synthetic",
     "--set", "image_size=16",

@@ -16,6 +16,8 @@ import pytest
 
 from triplegan_tpu.cli import main
 
+pytestmark = pytest.mark.slow  # multi-minute end-to-end drive
+
 
 def _write_custom(data_dir, name="plankton", size=20, channels=1,
                   num_classes=4, n_train=48, n_test=16):

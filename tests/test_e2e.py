@@ -7,6 +7,9 @@ import numpy as np
 
 from tests.helpers import tiny_config, tiny_data
 from triplegan_tpu.train.loop import train
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute end-to-end drive
 
 
 def test_end_to_end_training(tmp_path):

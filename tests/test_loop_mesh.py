@@ -6,6 +6,9 @@ import numpy as np
 
 from tests.helpers import tiny_config, tiny_data
 from triplegan_tpu.train.loop import train
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute end-to-end drive
 
 
 def test_train_loop_on_mesh(tmp_path):

@@ -432,6 +432,8 @@ cfg.multihost_process_id = 0
 cfg.mesh_shape = (8,)  # the guard requires the mesh to span every device
 
 from triplegan_tpu.train.loop import train
+
+pytestmark = pytest.mark.slow  # multi-minute end-to-end drive
 summary = train(cfg)
 assert summary["steps"] == 2, summary["steps"]
 print("TRAIN_OK", summary["test_error"])

@@ -10,6 +10,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute end-to-end drive
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

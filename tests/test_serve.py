@@ -26,6 +26,8 @@ from triplegan_tpu.serve import (
 from triplegan_tpu.train.schedule import make_optimizers
 from triplegan_tpu.train.state import create_state
 
+pytestmark = pytest.mark.slow  # multi-minute end-to-end drive
+
 
 # ---------- batched_apply ----------
 

@@ -36,6 +36,8 @@ from triplegan_tpu.train.schedule import make_optimizers  # noqa: E402
 from triplegan_tpu.train.state import create_state  # noqa: E402
 from triplegan_tpu.train.step import make_train_step  # noqa: E402
 
+pytestmark = pytest.mark.slow  # multi-minute end-to-end drive
+
 N_STEPS = 10
 
 
