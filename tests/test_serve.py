@@ -525,3 +525,51 @@ def test_http_fuzz_garbage_never_kills_the_server(live_server):
     ).astype(np.uint8)
     _, _, body = _post(base + "/classify", _npy(imgs), "application/x-npy")
     assert np.isfinite(np.load(io.BytesIO(body))).all()
+
+
+def test_cli_serve_sigterm_graceful(tmp_path):
+    """Container orchestrators stop pods with SIGTERM: the CLI server must
+    stop accepting, release the socket, and exit 0 — not die mid-request
+    with a failure status."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    cfg = tiny_config()
+    nets = make_networks(cfg)
+    state = create_state(cfg, nets, make_optimizers(cfg, 1))
+    classify, _ = make_serving_fns(cfg, nets, state)
+    img_spec = jax.ShapeDtypeStruct((4, 16, 16, 3), np.uint8)
+    cpath = export_stablehlo(classify, (img_spec,), str(tmp_path / "c.stablehlo"))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, TRIPLEGAN_PLATFORM="cpu",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "triplegan_tpu.cli", "serve",
+         "--classifier", cpath, "--port", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+    )
+    try:
+        deadline = time.time() + 300
+        port = None
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "serving on http://" in line:
+                port = int(line.split("http://", 1)[1].split()[0].rsplit(":", 1)[1])
+                break
+        assert port, "server never announced its port"
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=60
+        ) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        proc.send_signal(signal.SIGTERM)
+        out_rest = proc.stdout.read()
+        rc = proc.wait(timeout=120)
+        assert rc == 0, f"exit {rc}: {out_rest}"
+        assert "shutting down" in out_rest
+    finally:
+        if proc.poll() is None:
+            proc.kill()

@@ -464,12 +464,24 @@ def cmd_serve(args):
     server = make_server(app, host=args.host, port=args.port)
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port}  "
-          f"(endpoints: {', '.join(app.health()['endpoints'])}; GET /healthz)")
+          f"(endpoints: {', '.join(app.health()['endpoints'])}; GET /healthz)",
+          flush=True)
+
+    # Container orchestrators stop pods with SIGTERM: route it through the
+    # same clean path as Ctrl-C (stop accepting, release the socket, exit 0)
+    # instead of dying mid-request with a failure status.
+    import signal
+
+    def _sigterm(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
-        print("shutting down")
+        print("shutting down", flush=True)
         server.shutdown()
+        server.server_close()
 
 
 def cmd_predict(args):
