@@ -49,7 +49,7 @@ def _guard_device_init() -> None:
     from triplegan_tpu.doctor import check_device
 
     timeout_s = int(os.environ.get("BENCH_DEVICE_TIMEOUT", "600"))
-    findings, _ = check_device(timeout_s)
+    findings, _, _ = check_device(timeout_s)
     if findings[0][0] == "ok":
         return
     print(

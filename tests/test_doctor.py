@@ -74,10 +74,11 @@ def test_check_workdir_torn_tmp(tmp_path):
 
 def test_check_device_cpu_probe(monkeypatch):
     monkeypatch.setenv("TRIPLEGAN_DOCTOR_CPU", "1")
-    findings, visible = check_device(timeout_s=300)
+    findings, visible, hbm = check_device(timeout_s=300)
     assert findings[0][0] == "ok", findings
     assert "cpu" in findings[0][2]
     assert visible and visible >= 1  # the count feeds check_mesh
+    assert hbm is None or hbm > 0  # memory limit optional on CPU
 
 
 def test_check_device_honors_platform_env(monkeypatch):
@@ -86,7 +87,7 @@ def test_check_device_honors_platform_env(monkeypatch):
     would otherwise hang on the default TPU backend and misreport FAIL."""
     monkeypatch.delenv("TRIPLEGAN_DOCTOR_CPU", raising=False)
     monkeypatch.setenv("TRIPLEGAN_PLATFORM", "cpu")
-    findings, visible = check_device(timeout_s=300)
+    findings, visible, _ = check_device(timeout_s=300)
     assert findings[0][0] == "ok", findings
     assert "cpu" in findings[0][2]
     assert visible and visible >= 1
@@ -98,7 +99,7 @@ def test_run_doctor_feeds_visible_devices_to_mesh(monkeypatch, tmp_path):
     import triplegan_tpu.doctor as doc
 
     monkeypatch.setattr(
-        doc, "check_device", lambda t: ([("ok", "device", "1 cpu device(s)")], 1)
+        doc, "check_device", lambda t: ([("ok", "device", "1 cpu device(s)")], 1, None)
     )
     cfg = tiny_config()
     cfg.workdir = str(tmp_path)
@@ -204,3 +205,43 @@ def test_bench_cpu_smoke():
     # unavailable on the backend; CPU provides it)
     assert parsed["model_tflops_per_step"] > 0
     assert parsed["mfu"] is not None and parsed["peak_tflops"] > 0
+
+
+def test_check_memory_thresholds(tmp_path):
+    """data_on_device uploads the whole train split to HBM: the doctor
+    sizes it from the npz headers (no array loads) and grades it against
+    the device limit."""
+    from triplegan_tpu.doctor import check_memory
+
+    cfg = tiny_config()
+    cfg.dataset = "big"
+    cfg.data_dir = str(tmp_path)
+    cfg.data_on_device = True
+    d = tmp_path / "big"
+    d.mkdir()
+    imgs = np.zeros((64, 32, 32, 3), np.uint8)  # 196608 B
+    np.savez(d / "train.npz", images=imgs, labels=np.zeros((64,), np.int64))
+
+    nbytes = imgs.nbytes + 64 * 8
+    (lv, name, msg), = check_memory(cfg, hbm_bytes=nbytes * 10)
+    assert (lv, name) == ("ok", "memory") and "10%" in msg
+    (lv, _, msg), = check_memory(cfg, hbm_bytes=int(nbytes / 0.6))
+    assert lv == "warn" and "data_on_device=False" in msg
+    (lv, _, msg), = check_memory(cfg, hbm_bytes=nbytes)
+    assert lv == "fail" and "OOM" in msg
+    # unknown limit (CPU backend): informational ok
+    (lv, _, msg), = check_memory(cfg, hbm_bytes=None)
+    assert lv == "ok" and "GiB" in msg
+
+
+def test_check_memory_host_streaming_and_synthetic(tmp_path):
+    from triplegan_tpu.doctor import check_memory
+
+    cfg = tiny_config()
+    cfg.data_on_device = False
+    (lv, _, msg), = check_memory(cfg)
+    assert lv == "ok" and "host-streaming" in msg
+    cfg = tiny_config()
+    cfg.data_on_device = True  # synthetic dataset
+    (lv, _, msg), = check_memory(cfg)
+    assert lv == "ok" and "synthetic" in msg

@@ -44,6 +44,11 @@ ds = jax.devices()
 import jax.numpy as jnp
 x = jnp.ones((8, 8)); float((x @ x).sum())
 print("DOCTOR_DEVICES", jax.default_backend(), len(ds))
+try:
+    stats = ds[0].memory_stats() or {}
+    print("DOCTOR_MEM", int(stats.get("bytes_limit", 0)))
+except Exception:
+    print("DOCTOR_MEM", 0)
 """
 
 
@@ -53,8 +58,10 @@ def check_device(timeout_s: int = 600):
     timeout covers this hardware class's documented healthy startup stalls
     of 1–10 min — a shorter one misdiagnoses a slow-but-working tunnel.
 
-    Returns ``(findings, visible_devices)`` — the count is None unless the
-    probe succeeded (run_doctor feeds it to :func:`check_mesh`)."""
+    Returns ``(findings, visible_devices, hbm_bytes)`` — the count is None
+    unless the probe succeeded (run_doctor feeds it to :func:`check_mesh`);
+    ``hbm_bytes`` is the device's reported per-chip memory limit, or None
+    when the runtime doesn't expose it (CPU)."""
     try:
         out = subprocess.run(
             [sys.executable, "-c", _DEVICE_PROBE],
@@ -69,17 +76,21 @@ def check_device(timeout_s: int = 600):
             f"device init hung >{timeout_s}s — on a TPU VM this is the "
             "driver/tunnel, not this framework; retry later, or check the "
             "CPU path with --platform cpu (or TRIPLEGAN_DOCTOR_CPU=1)",
-        )], None
+        )], None, None
+    visible = hbm = None
     for line in out.stdout.splitlines():
         if line.startswith("DOCTOR_DEVICES"):
             _, backend, n = line.split()
-            return [
-                ("ok", "device", f"{n} {backend} device(s), tiny matmul ran")
-            ], int(n)
+            visible = int(n)
+            finding = ("ok", "device", f"{n} {backend} device(s), tiny matmul ran")
+        elif line.startswith("DOCTOR_MEM"):
+            hbm = int(line.split()[1]) or None
+    if visible is not None:
+        return [finding], visible, hbm
     tail = (out.stderr or out.stdout).strip().splitlines()
     return [(
         "fail", "device", f"device probe failed: {tail[-1] if tail else 'no output'}"
-    )], None
+    )], None, None
 
 
 def check_versions() -> List[Finding]:
@@ -192,6 +203,62 @@ def check_mesh(cfg, visible_devices: int = None) -> List[Finding]:
     return findings
 
 
+def _npz_nbytes(path: str) -> int:
+    """Sum of the UNCOMPRESSED array bytes in an .npz, read from the zip
+    members' npy headers — no array data is loaded (STL-10's train.npz is
+    multi-GB; the doctor must stay fast)."""
+    import zipfile
+
+    import numpy as np
+    from numpy.lib import format as npy_format
+
+    total = 0
+    with zipfile.ZipFile(path) as z:
+        for name in z.namelist():
+            with z.open(name) as f:
+                version = npy_format.read_magic(f)
+                shape, _, dtype = npy_format._read_array_header(f, version)
+            total += int(np.prod(shape)) * dtype.itemsize
+    return total
+
+
+def check_memory(cfg, hbm_bytes=None) -> List[Finding]:
+    """data_on_device=True (the default, and the measured-fastest path)
+    uploads the ENTIRE prepared dataset to HBM at startup — a large custom
+    dataset OOMs at step 0 after a long prepare. Estimate the resident
+    bytes up front and compare against the device's reported memory."""
+    if not cfg.get("data_on_device", False):
+        return [("ok", "memory", "host-streaming pipeline (data_on_device="
+                                 "False); no dataset HBM residency")]
+    if cfg.dataset == "synthetic":
+        return [("ok", "memory", "synthetic dataset (negligible residency)")]
+    # Resident set = the TRAIN split as uint8 (x_labeled duplicates a small
+    # subset of it; ZCA/augment run per sampled batch in-step, so no f32
+    # copy of the dataset lives on device — data/pipeline.py:131).
+    path = os.path.join(cfg.data_dir, cfg.dataset, "train.npz")
+    if not os.path.exists(path):
+        return []  # the data check already failed loudly
+    try:
+        resident = _npz_nbytes(path)
+    except Exception as e:
+        return [("warn", "memory", f"could not size {path} ({e})")]
+    human = f"{resident / 2**30:.2f} GiB"
+    if hbm_bytes:
+        frac = resident / hbm_bytes
+        msg = (f"dataset HBM residency ≈ {human} = {frac:.0%} of the "
+               f"{hbm_bytes / 2**30:.1f} GiB device limit")
+        if frac > 0.9:
+            return [("fail", "memory", msg + " — will OOM at startup; set "
+                                             "data_on_device=False")]
+        if frac > 0.5:
+            return [("warn", "memory", msg + " — leaves little room for "
+                                             "activations; consider "
+                                             "data_on_device=False")]
+        return [("ok", "memory", msg)]
+    return [("ok", "memory", f"dataset HBM residency ≈ {human} "
+                             "(device limit unknown on this backend)")]
+
+
 def check_workdir(workdir: str) -> List[Finding]:
     ckpt_dir = os.path.join(workdir, "ckpt")
     if not os.path.isdir(ckpt_dir):
@@ -223,14 +290,15 @@ def run_doctor(cfg=None, workdir: str = None, skip_device: bool = False,
                device_timeout_s: int = 600) -> List[Finding]:
     findings: List[Finding] = []
     findings += check_versions()
-    visible = None
+    visible = hbm = None
     if not skip_device:
-        device_findings, visible = check_device(device_timeout_s)
+        device_findings, visible, hbm = check_device(device_timeout_s)
         findings += device_findings
     if cfg is not None:
         findings += check_config(cfg, workdir)
         findings += check_data(cfg)
         findings += check_mesh(cfg, visible_devices=visible)
+        findings += check_memory(cfg, hbm_bytes=hbm)
         findings += check_workdir(workdir)
     return findings
 
