@@ -495,6 +495,11 @@ def test_http_metrics_prometheus_format(live_server):
     for line in text.splitlines():
         if line.startswith('triplegan_requests_total{endpoint="classify"}'):
             assert int(line.rsplit(" ", 1)[1]) >= 1
+    # cumulative latency counter present and positive after a request
+    assert "# TYPE triplegan_request_seconds_total counter" in text
+    for line in text.splitlines():
+        if line.startswith('triplegan_request_seconds_total{endpoint="classify"}'):
+            assert float(line.rsplit(" ", 1)[1]) > 0.0
 
 
 def test_http_fuzz_garbage_never_kills_the_server(live_server):

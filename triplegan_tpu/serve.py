@@ -35,6 +35,7 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Optional
 
@@ -101,11 +102,16 @@ class ServingApp:
         self.reloader = reloader
         self.device_lock = threading.Lock()
         self.counters = {"classify": 0, "generate": 0, "reload": 0, "errors": 0}
+        # Cumulative seconds per endpoint (device-lock wait + compute):
+        # rate(seconds)/rate(requests) in Prometheus gives live mean latency.
+        self.latency_s = {"classify": 0.0, "generate": 0.0}
         self._counter_lock = threading.Lock()  # handler threads race on +=
 
-    def count(self, key: str):
+    def count(self, key: str, seconds: float = None):
         with self._counter_lock:
             self.counters[key] += 1
+            if seconds is not None:
+                self.latency_s[key] += seconds
 
     # ---- endpoint implementations (numpy in / numpy|dict out) ----
 
@@ -147,9 +153,10 @@ class ServingApp:
                 f"images must be [N,{','.join(map(str, self.image_shape))}], "
                 f"got {tuple(images.shape)}"
             )
+        t0 = time.perf_counter()
         with self.device_lock:
             out = batched_apply(self.classify, self.classify_batch, images)
-        self.count("classify")
+        self.count("classify", seconds=time.perf_counter() - t0)
         return out
 
     def do_generate(
@@ -165,9 +172,10 @@ class ServingApp:
             raise ValueError(f"y must be [N]={z.shape[0]}, got {y.shape}")
         if self.num_classes and ((y < 0).any() or (y >= self.num_classes).any()):
             raise ValueError(f"labels must be in [0,{self.num_classes})")
+        t0 = time.perf_counter()
         with self.device_lock:
             imgs = batched_apply(self.generate, self.generate_batch, z, y)
-        self.count("generate")
+        self.count("generate", seconds=time.perf_counter() - t0)
         if pixels:  # [-1,1] → uint8, same mapping as eval/sample.py grids
             imgs = np.clip((np.asarray(imgs, np.float32) + 1.0) * 127.5, 0, 255)
             imgs = imgs.astype(np.uint8)
@@ -179,12 +187,20 @@ class ServingApp:
         standard monitoring stack, no exporter needed."""
         with self._counter_lock:
             counters = dict(self.counters)
+            latency = dict(self.latency_s)
         lines = [
             "# HELP triplegan_requests_total Requests served, by endpoint.",
             "# TYPE triplegan_requests_total counter",
         ]
         for k, v in sorted(counters.items()):
             lines.append(f'triplegan_requests_total{{endpoint="{k}"}} {v}')
+        lines += [
+            "# HELP triplegan_request_seconds_total Cumulative device-side "
+            "request time (lock wait + compute), by endpoint.",
+            "# TYPE triplegan_request_seconds_total counter",
+        ]
+        for k, v in sorted(latency.items()):
+            lines.append(f'triplegan_request_seconds_total{{endpoint="{k}"}} {v:.6f}')
         lines += [
             "# HELP triplegan_serving_batch Static compiled batch size.",
             "# TYPE triplegan_serving_batch gauge",
