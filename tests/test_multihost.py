@@ -300,6 +300,7 @@ print(f"RESULT pid={{pid}} steps={{summary['steps']}} csum={{csum:.10e}}", flush
 """
 
 
+@pytest.mark.slow  # multi-minute end-to-end drive
 def test_train_two_process_cluster_end_to_end(tmp_path):
     """THE multihost test: a real 2-process jax.distributed cluster (one
     CPU device per process, gloo collectives) runs the full train driver
@@ -342,6 +343,7 @@ print(f"DET2P_OK pid={{pid}}", flush=True)
 """
 
 
+@pytest.mark.slow  # multi-minute end-to-end drive
 def test_two_process_trajectory_equals_single_device(tmp_path):
     """Cross-process analogue of test_parallel's headline equivalence: a
     deterministic config trained on a real 2-process cluster (host-pipeline
@@ -395,6 +397,7 @@ print(f"RESUME_OK pid={{pid}} phase={{phase}} steps={{summary['steps']}}", flush
 """
 
 
+@pytest.mark.slow  # multi-minute end-to-end drive
 def test_two_process_checkpoint_resume(tmp_path):
     """Pod failure-recovery: a 2-process cluster trains 4 steps and exits;
     a FRESH 2-process cluster on the same run dir must restore the orbax
@@ -433,13 +436,13 @@ cfg.mesh_shape = (8,)  # the guard requires the mesh to span every device
 
 from triplegan_tpu.train.loop import train
 
-pytestmark = pytest.mark.slow  # multi-minute end-to-end drive
 summary = train(cfg)
 assert summary["steps"] == 2, summary["steps"]
 print("TRAIN_OK", summary["test_error"])
 """
 
 
+@pytest.mark.slow  # multi-minute end-to-end drive
 def test_train_multihost_single_process_cluster(tmp_path):
     """End-to-end: cfg.multihost=True initializes the distributed runtime
     before any backend touch, the mesh spans the (8 fake-device) pod, and
