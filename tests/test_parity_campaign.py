@@ -125,3 +125,37 @@ def test_campaign_tiny_end_to_end(tmp_path, monkeypatch):
     )
     # per-seed train logs were streamed to files
     assert (wd / "seed1.log").exists() and (wd / "seed2.log").exists()
+
+
+def test_campaign_rerun_resumes_training(tmp_path, monkeypatch):
+    """PARITY.md §4 promises 'interrupting and rerunning the campaign
+    resumes training from the last checkpoint' — pin it: a second campaign
+    over the same workdir with a longer schedule must RESTORE the first
+    run's final checkpoint (train prints 'resumed from step N' into the
+    appended seed log) rather than restarting from step 0."""
+    monkeypatch.setenv("TRIPLEGAN_PLATFORM", "cpu")
+    mod = _campaign()
+    wd = tmp_path / "runs"
+
+    def run(epochs):
+        sets = [kv for kv in TINY_SETS if not kv.startswith("epochs=")]
+        sets.append(f"epochs={epochs}")
+        return mod.main([
+            "--config", "mnist100",
+            "--raw-dir", str(tmp_path / "raw"),
+            "--data-dir", str(tmp_path / "data"),
+            "--workdir", str(wd),
+            "--seeds", "1",
+            *[f for kv in sets for f in ("--set", kv)],
+        ])
+
+    assert run(epochs=1) == 2  # FAIL verdict on random tiny data, as above
+    log1 = (wd / "seed1.log").read_text()
+    assert "resumed" not in log1  # first run starts fresh
+
+    assert run(epochs=2) == 2
+    log2 = (wd / "seed1.log").read_text()
+    # appended log: the rerun restored the epoch-1 final checkpoint (step 2
+    # at steps_per_epoch=2) and continued to step 4
+    assert "resumed from step 2" in log2
+    assert "step 4/4" in log2
