@@ -125,6 +125,10 @@ def test_campaign_tiny_end_to_end(tmp_path, monkeypatch):
     )
     # per-seed train logs were streamed to files
     assert (wd / "seed1.log").exists() and (wd / "seed2.log").exists()
+    # seed-overlay curves rendered next to the summary (best-effort path)
+    curves = wd / "curves.png"
+    assert curves.exists() and curves.stat().st_size > 5000
+    assert curves.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
 
 
 def test_campaign_rerun_resumes_training(tmp_path, monkeypatch):

@@ -196,6 +196,26 @@ def main(argv=None) -> int:
     path = os.path.join(args.workdir, "parity_summary.json")
     with open(path, "w") as f:
         json.dump(summary, f, indent=2)
+    try:  # seed-overlay training curves next to the summary (best-effort)
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "plot_metrics",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "plot_metrics.py"),
+        )
+        plot_metrics = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(plot_metrics)
+        run_dirs = [
+            os.path.join(args.workdir, f"seed{s}", args.config) for s in seeds
+        ]
+        plot_metrics.main(
+            [d for d in run_dirs if os.path.isdir(d)]
+            + ["--out", os.path.join(args.workdir, "curves.png"),
+               "--smooth", "0.9"]
+        )
+    except Exception as e:  # plotting must never fail the campaign verdict
+        print(f"curve rendering skipped: {e}", file=sys.stderr)
     print(json.dumps(summary))
     print(f"wrote {path} — {'PASS' if passed else 'FAIL'} "
           f"(mean {mean:.2f}% vs {args.reference_error:.2f}±{args.band}%)")
