@@ -772,7 +772,11 @@ def main(argv=None):
 
     sp = sub.add_parser("prepare", help="convert raw dataset files to npz shards")
     sp.add_argument("--dataset", required=True)
-    sp.add_argument("--raw-dir", required=True)
+    sp.add_argument(
+        "--raw-dir", default="",
+        help="directory of raw dataset files (optional for datasets whose "
+             "data ships in-package, e.g. digits)",
+    )
     sp.add_argument("--data-dir", required=True)
     sp.add_argument(
         "--download", action="store_true",

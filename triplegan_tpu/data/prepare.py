@@ -210,17 +210,83 @@ def prepare_stl10(raw_dir: str, out_dir: str) -> None:
     _save(out_dir, "stl10", "test", x_te, y_te)
 
 
+# ---------------------------------------------------------------------------
+# sklearn digits (real data bundled with scikit-learn — no download needed)
+# ---------------------------------------------------------------------------
+
+
+DIGITS_TEST_PER_CLASS = 50
+DIGITS_SPLIT_SEED = 0
+
+
+def prepare_digits(raw_dir: str, out_dir: str) -> None:
+    """scikit-learn's bundled handwritten-digits set (UCI optdigits): 1,797
+    REAL 8×8 grayscale digit images that ship inside the sklearn package —
+    the one real image dataset reachable with zero network egress, used for
+    the real-data semi-supervised validation experiment (docs/PARITY.md §8).
+
+    ``raw_dir`` is ignored: there are no raw files to convert. Pixels
+    (0..16) rescale to uint8 0..255 and upsample nearest-neighbor to 28×28×1
+    so the ``mnist100`` architecture applies unchanged. The train/test split
+    is stratified (``DIGITS_TEST_PER_CLASS`` per class held out, seed
+    ``DIGITS_SPLIT_SEED``) and deterministic, so every run of this converter
+    produces byte-identical shards.
+
+    Reference lineage: the reference ships no equivalent ([ref-expected]
+    Input_Pipeline/ covers MNIST/SVHN/CIFAR only) — this exists because the
+    rebuild's parity metric is environment-blocked and digits is the only
+    real data available here.
+    """
+    try:
+        from sklearn.datasets import load_digits
+    except ImportError as e:  # pragma: no cover - sklearn is baked in here
+        raise RuntimeError(
+            "prepare --dataset digits needs scikit-learn (bundles the data)"
+        ) from e
+
+    d = load_digits()
+    x = np.round(d.images * (255.0 / 16.0)).astype(np.uint8)  # (1797, 8, 8)
+    y = d.target.astype(np.int32)
+
+    idx28 = (np.arange(28) * 8) // 28
+    x = x[:, idx28][:, :, idx28][..., None]  # nearest-neighbor → (N, 28, 28, 1)
+
+    rng = np.random.RandomState(DIGITS_SPLIT_SEED)
+    test_idx = []
+    for c in range(10):
+        cls = np.flatnonzero(y == c)
+        rng.shuffle(cls)
+        test_idx.append(cls[:DIGITS_TEST_PER_CLASS])
+    test_idx = np.concatenate(test_idx)
+    test_mask = np.zeros(len(y), bool)
+    test_mask[test_idx] = True
+    train_idx = np.flatnonzero(~test_mask)
+    rng.shuffle(train_idx)
+
+    _save(out_dir, "digits", "train", x[train_idx], y[train_idx])
+    _save(out_dir, "digits", "test", x[test_idx], y[test_idx])
+
+
 PREPARERS = {
     "mnist": prepare_mnist,
     "cifar10": prepare_cifar10,
     "svhn": prepare_svhn,
     "stl10": prepare_stl10,
+    "digits": prepare_digits,
 }
+
+# Datasets whose converter needs no raw files on disk (data ships in-package).
+RAW_FREE = frozenset({"digits"})
 
 
 def prepare(name: str, raw_dir: str, out_dir: str, download: bool = False) -> None:
     if name not in PREPARERS:
         raise KeyError(f"unknown dataset '{name}'; available: {sorted(PREPARERS)}")
+    if not raw_dir and name not in RAW_FREE:
+        raise ValueError(
+            f"dataset '{name}' converts raw files on disk — pass --raw-dir "
+            f"(only {sorted(RAW_FREE)} need none)"
+        )
     if download:
         from triplegan_tpu.data.download import download_dataset
 
