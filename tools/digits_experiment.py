@@ -149,9 +149,14 @@ def main(argv=None) -> int:
     ap.add_argument("--data-dir", required=True)
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--seeds", default="1,2,3")
-    ap.add_argument("--epochs", type=int, default=1000,
+    # Schedule defaults are the mnist100 recipe VERBATIM (epochs=300,
+    # alpha_p_warmup_epochs=100, configs/__init__.py) — chosen a priori, not
+    # tuned on digits. The first on-chip campaign (DESIGN.md "real-data
+    # validation") showed 1000 epochs overtrains the 1,297-image pool badly:
+    # 3.8% at epoch 100 degrading to 15.4% by epoch 1000.
+    ap.add_argument("--epochs", type=int, default=300,
                     help="Triple-GAN epochs (12 steps each at batch 100)")
-    ap.add_argument("--warmup-epochs", type=int, default=300,
+    ap.add_argument("--warmup-epochs", type=int, default=100,
                     help="alpha_p warm-up for the semi-supervised arm")
     ap.add_argument("--baseline-steps", type=int, default=3000)
     ap.add_argument("--eval-every-epochs", type=int, default=100)
