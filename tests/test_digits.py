@@ -121,3 +121,5 @@ def test_digits_experiment_micro_end_to_end(tmp_path, monkeypatch):
     assert len(summary["triplegan_errors_pct"]) == 1
     assert summary["verdict"] in ("PASS", "FAIL")
     assert (summary["verdict"] == "PASS") == (summary["gain_pct"] > 0)
+    assert summary["seed_wins"].endswith("/1")
+    assert 0.0 <= summary["sign_test_p"] <= 1.0

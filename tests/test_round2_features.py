@@ -274,9 +274,11 @@ def test_download_rejects_path_traversal_archive(tmp_path):
 
 def test_download_registry_covers_all_datasets():
     from triplegan_tpu.data.download import SOURCES
-    from triplegan_tpu.data.prepare import PREPARERS
+    from triplegan_tpu.data.prepare import PREPARERS, RAW_FREE
 
-    assert set(SOURCES) == set(PREPARERS)
+    # Every dataset whose converter reads raw files has a pinned download
+    # source; raw-free datasets (data ships in-package) need none.
+    assert set(SOURCES) == set(PREPARERS) - RAW_FREE
     for srcs in SOURCES.values():
         for s in srcs:
             assert len(s.md5) == 32

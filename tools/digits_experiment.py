@@ -234,6 +234,20 @@ def main(argv=None) -> int:
     t_mean = sum(triplegan_errors) / len(triplegan_errors)
     gain = b_mean - t_mean
     verdict = "PASS" if gain > 0 else "FAIL"
+    # Paired per-seed statistics: both arms share the seed's labeled subset,
+    # so each seed is one paired trial. Two-sided sign test on wins (ties
+    # dropped, the exact binomial) — with few seeds this is conservative.
+    import math
+
+    wins = sum(1 for b, t in zip(baseline_errors, triplegan_errors) if t < b)
+    losses = sum(1 for b, t in zip(baseline_errors, triplegan_errors) if t > b)
+    n_pairs = wins + losses
+    if n_pairs:
+        k = max(wins, losses)
+        tail = sum(math.comb(n_pairs, i) for i in range(k, n_pairs + 1))
+        sign_p = min(1.0, 2.0 * tail / 2.0**n_pairs)
+    else:
+        sign_p = 1.0
     summary = {
         "dataset": "digits",
         "num_labeled": 100,
@@ -243,6 +257,8 @@ def main(argv=None) -> int:
         "baseline_mean_pct": round(100 * b_mean, 2),
         "triplegan_mean_pct": round(100 * t_mean, 2),
         "gain_pct": round(100 * gain, 2),
+        "seed_wins": f"{wins}/{len(seeds)}",
+        "sign_test_p": round(sign_p, 4),
         "epochs": args.epochs,
         "baseline_steps": args.baseline_steps,
         "verdict": verdict,

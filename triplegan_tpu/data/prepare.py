@@ -287,7 +287,7 @@ def prepare(name: str, raw_dir: str, out_dir: str, download: bool = False) -> No
             f"dataset '{name}' converts raw files on disk — pass --raw-dir "
             f"(only {sorted(RAW_FREE)} need none)"
         )
-    if download:
+    if download and name not in RAW_FREE:
         from triplegan_tpu.data.download import download_dataset
 
         download_dataset(name, raw_dir)
