@@ -85,7 +85,17 @@ def test_digits_experiment_dry_run(tmp_path, capsys):
     assert out.count("triplegan_tpu.cli train") == 2
     assert out.count("triplegan_tpu.cli eval") == 2
     assert out.count("supervised baseline") == 2
-    assert "--set name=digits_s2" in out
+    assert "--set name=digits_n100_s2" in out
+    assert "--set num_labeled=100" in out
+
+
+def test_digits_experiment_rejects_unbalanced_label_budget(tmp_path):
+    mod = _experiment()
+    with pytest.raises(SystemExit):
+        mod.main([
+            "--data-dir", str(tmp_path), "--workdir", str(tmp_path),
+            "--num-labeled", "55", "--dry-run",
+        ])
 
 
 def test_digits_experiment_rejects_duplicate_seeds(tmp_path):
@@ -115,8 +125,11 @@ def test_digits_experiment_micro_end_to_end(tmp_path, monkeypatch):
     # Untrained micro-arms carry no gain guarantee — the contract is the
     # artifact and the honest verdict, not the outcome.
     assert rc in (0, 2)
-    summary = json.loads((tmp_path / "runs" / "digits_summary.json").read_text())
+    summary = json.loads(
+        (tmp_path / "runs" / "digits_summary_n100.json").read_text()
+    )
     assert summary["seeds"] == [1]
+    assert summary["num_labeled"] == 100
     assert len(summary["baseline_errors_pct"]) == 1
     assert len(summary["triplegan_errors_pct"]) == 1
     assert summary["verdict"] in ("PASS", "FAIL")

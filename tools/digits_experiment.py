@@ -7,11 +7,13 @@ scikit-learn's bundled UCI optdigits sample — 1,797 genuine handwritten
 semi-supervised machinery end to end:
 
     python tools/digits_experiment.py --data-dir /tmp/digits_data \
-        --workdir /tmp/digits_runs [--seeds 1,2,3] [--epochs 1000] \
-        [--baseline-steps 3000] [--platform tpu] [--dry-run]
+        --workdir /tmp/digits_runs [--seeds 1,2,3] [--epochs 300] \
+        [--num-labeled 100] [--baseline-steps 3000] [--platform tpu] \
+        [--dry-run]
 
-Per seed it runs TWO arms on the SAME class-balanced 100-label subset
-(``semi_split`` is seed-deterministic, so both arms see identical labels):
+Per seed it runs TWO arms on the SAME class-balanced ``--num-labeled``
+subset (``semi_split`` is seed-deterministic, so both arms see identical
+labels):
 
   A. **supervised baseline** — the framework's own Classifier network (the
      ``mnist100`` architecture, identical input rescale, identical
@@ -22,10 +24,12 @@ Per seed it runs TWO arms on the SAME class-balanced 100-label subset
      additionally exploit the 1,297-image unlabeled pool through the
      three-player objective.
 
-It writes ``<workdir>/digits_summary.json`` with per-seed test errors for
-both arms, their means, and the verdict: PASS when the semi-supervised mean
-error beats the supervised mean (the machinery demonstrably extracts signal
-from real unlabeled images), exit 0; FAIL exits 2.
+It writes ``<workdir>/digits_summary_n<labels>.json`` with per-seed test
+errors for both arms, their means, a paired sign test, and the verdict:
+PASS when the semi-supervised mean error beats the supervised mean (the
+machinery demonstrably extracts signal from real unlabeled images), exit
+0; FAIL exits 2. Sweeping ``--num-labeled`` (e.g. 50/100/200) probes the
+semi-supervised signature — the gain should grow as labels shrink.
 
 Reference lineage: the reference has no equivalent ([ref-expected] covers
 MNIST/SVHN/CIFAR only); this experiment exists because the parity number
@@ -77,7 +81,8 @@ def run_cli(args: list[str], log_path: str | None = None) -> str:
 
 
 def supervised_baseline(
-    data_dir: str, seed: int, steps: int, lr: float = 3e-4, log_every: int = 500
+    data_dir: str, seed: int, steps: int, num_labeled: int = 100,
+    lr: float = 3e-4, log_every: int = 500,
 ) -> float:
     """Arm A: the framework's Classifier trained on ONLY the labeled subset.
 
@@ -102,6 +107,7 @@ def supervised_baseline(
     cfg.dataset = "digits"
     cfg.seed = seed
     cfg.data_dir = data_dir
+    cfg.num_labeled = num_labeled
     apply_runtime(cfg)
     data = load_dataset(data_dir, "digits", cfg.num_labeled, cfg.num_classes, seed)
     _, _, clf = make_networks(cfg)
@@ -159,6 +165,9 @@ def main(argv=None) -> int:
     ap.add_argument("--warmup-epochs", type=int, default=100,
                     help="alpha_p warm-up for the semi-supervised arm")
     ap.add_argument("--baseline-steps", type=int, default=3000)
+    ap.add_argument("--num-labeled", type=int, default=100,
+                    help="label budget for BOTH arms (must be a multiple of "
+                         "10 for a class-balanced split)")
     ap.add_argument("--eval-every-epochs", type=int, default=100)
     ap.add_argument("--ckpt-every-epochs", type=int, default=200)
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
@@ -167,6 +176,9 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     seeds = [int(s) for s in args.seeds.split(",") if s]
+    if args.num_labeled % 10 != 0 or args.num_labeled <= 0:
+        ap.error(f"--num-labeled must be a positive multiple of 10, got "
+                 f"{args.num_labeled}")
     if len(set(seeds)) != len(seeds):
         ap.error(f"duplicate seeds in --seeds {args.seeds!r}")
     if args.platform:
@@ -179,8 +191,9 @@ def main(argv=None) -> int:
         common = ["--workdir", args.workdir, "--data-dir", args.data_dir]
         overrides = [
             "--set", "dataset=digits",
-            "--set", f"name=digits_s{seed}",
+            "--set", f"name=digits_n{args.num_labeled}_s{seed}",
             "--set", f"seed={seed}",
+            "--set", f"num_labeled={args.num_labeled}",
         ]
         return {
             "prepare": ["prepare", "--dataset", "digits",
@@ -215,12 +228,14 @@ def main(argv=None) -> int:
     for seed in seeds:
         cmds = stage_cmds(seed)
         print(f"=== seed {seed}: supervised baseline ===", flush=True)
-        be = supervised_baseline(args.data_dir, seed, args.baseline_steps)
+        be = supervised_baseline(
+            args.data_dir, seed, args.baseline_steps, args.num_labeled)
         print(f"  baseline seed={seed} test error: {100 * be:.2f}%", flush=True)
         baseline_errors.append(be)
 
         print(f"=== seed {seed}: Triple-GAN semi-supervised ===", flush=True)
-        log = os.path.join(args.workdir, f"digits_s{seed}_train.log")
+        log = os.path.join(
+            args.workdir, f"digits_n{args.num_labeled}_s{seed}_train.log")
         run_cli(cmds["train"], log_path=log)
         out = run_cli(cmds["eval"])
         m = ERROR_RE.search(out)
@@ -250,7 +265,7 @@ def main(argv=None) -> int:
         sign_p = 1.0
     summary = {
         "dataset": "digits",
-        "num_labeled": 100,
+        "num_labeled": args.num_labeled,
         "seeds": seeds,
         "baseline_errors_pct": [round(100 * e, 2) for e in baseline_errors],
         "triplegan_errors_pct": [round(100 * e, 2) for e in triplegan_errors],
@@ -263,13 +278,14 @@ def main(argv=None) -> int:
         "baseline_steps": args.baseline_steps,
         "verdict": verdict,
     }
-    path = os.path.join(args.workdir, "digits_summary.json")
+    path = os.path.join(
+        args.workdir, f"digits_summary_n{args.num_labeled}.json")
     with open(path, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
     print(f"summary → {path}\nverdict: {verdict} "
           f"(semi-supervised {100 * t_mean:.2f}% vs supervised-only "
-          f"{100 * b_mean:.2f}% on the same 100 real labels)")
+          f"{100 * b_mean:.2f}% on the same {args.num_labeled} real labels)")
     return 0 if verdict == "PASS" else 2
 
 
