@@ -17,8 +17,8 @@ labels):
 
   A. **supervised baseline** — the framework's own Classifier network (the
      ``mnist100`` architecture, identical input rescale, identical
-     noise/dropout regularization) trained in-process with Adam on ONLY the
-     100 labeled images;
+     noise/dropout regularization) trained in-process with Adam on ONLY
+     the labeled images;
   B. **Triple-GAN semi-supervised** — the real CLI ``train``/``eval``
      commands (subprocesses, exactly like tools/parity_campaign.py), which
      additionally exploit the 1,297-image unlabeled pool through the
@@ -89,10 +89,10 @@ def supervised_baseline(
     Identical network, init scheme, input transform ([-1,1] rescale — the
     mnist100 recipe has no ZCA/augmentation) and train-mode stochasticity
     (input noise σ=0.15, block dropout) as the semi-supervised classifier;
-    the only difference is the objective: plain cross-entropy on the 100
-    labels, full-batch (the labeled set IS one batch of 100). Returns the
-    final test error in [0, 1], evaluated with running BN stats like
-    ``make_eval_step``.
+    the only difference is the objective: plain cross-entropy on the
+    labeled subset, full-batch (the whole labeled set is one batch).
+    Returns the final test error in [0, 1], evaluated with running BN
+    stats like ``make_eval_step``.
     """
     import jax
     import jax.numpy as jnp
