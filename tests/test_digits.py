@@ -13,13 +13,17 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _experiment():
+def _tool(name):
     spec = importlib.util.spec_from_file_location(
-        "digits_experiment", os.path.join(REPO, "tools", "digits_experiment.py")
+        name, os.path.join(REPO, "tools", f"{name}.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
+
+
+def _experiment():
+    return _tool("digits_experiment")
 
 
 def _prepare(tmp_path):
@@ -105,6 +109,93 @@ def test_digits_experiment_rejects_duplicate_seeds(tmp_path):
             "--data-dir", str(tmp_path), "--workdir", str(tmp_path),
             "--seeds", "1,1", "--dry-run",
         ])
+
+
+def test_paired_permutation_p():
+    mod = _experiment()
+    # All-positive diffs {1,2,3}: only the two all-same-sign assignments
+    # reach |sum| = 6 → p = 2/8.
+    assert mod.paired_permutation_p([1.0, 2.0, 3.0], [0.0, 0.0, 0.0]) == 0.25
+    # No effect: every assignment ties the observed 0 → p = 1.
+    assert mod.paired_permutation_p([1.0, 2.0], [1.0, 2.0]) == 1.0
+    # Mixed signs keep it two-sided and in (0, 1].
+    p = mod.paired_permutation_p([3.0, 1.0, 2.0, 5.0], [2.5, 1.5, 1.0, 4.0])
+    assert 0.0 < p <= 1.0
+    assert mod.paired_permutation_p([], []) == 1.0
+
+
+def test_nn_distances_matches_brute_force():
+    mod = _tool("digits_quality")
+    rng = np.random.RandomState(0)
+    a = rng.randn(7, 4, 4, 1).astype(np.float32)
+    b = rng.randn(11, 4, 4, 1).astype(np.float32)
+    got = mod.nn_distances(a, b, chunk=3)
+    af, bf = a.reshape(7, -1), b.reshape(11, -1)
+    want = np.sqrt(
+        ((af[:, None, :] - bf[None, :, :]) ** 2).sum(-1)
+    ).min(axis=1)
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def test_digits_quality_rejects_duplicate_runs(tmp_path):
+    mod = _tool("digits_quality")
+    with pytest.raises(SystemExit):
+        mod.main([
+            "--data-dir", str(tmp_path), "--workdir", str(tmp_path),
+            "--runs", "a,a",
+        ])
+
+
+def test_digits_quality_requires_run_dir(tmp_path):
+    mod = _tool("digits_quality")
+    os.makedirs(tmp_path / "not_a_run")
+    with pytest.raises(SystemExit, match="config.json"):
+        mod.main([
+            "--data-dir", str(tmp_path), "--workdir", str(tmp_path),
+            "--runs", "not_a_run", "--platform", "cpu",
+        ])
+
+
+@pytest.mark.slow  # a CLI train subprocess + in-process quality measurement
+def test_digits_quality_micro_end_to_end(tmp_path, monkeypatch):
+    import shlex
+    import subprocess
+    import sys
+
+    monkeypatch.setenv("TRIPLEGAN_PLATFORM", "cpu")
+    from triplegan_tpu.data.prepare import prepare
+
+    data_dir, workdir = tmp_path / "data", tmp_path / "runs"
+    prepare("digits", "", str(data_dir))
+    env = dict(os.environ, PYTHONPATH=REPO)
+    cmd = [
+        sys.executable, "-m", "triplegan_tpu.cli", "train",
+        "--config", "mnist100", "--data-dir", str(data_dir),
+        "--workdir", str(workdir), "--platform", "cpu",
+        "--set", "dataset=digits", "--set", "name=dq_micro",
+        "--set", "epochs=1", "--set", "eval_every_epochs=1",
+        "--set", "ckpt_every_epochs=1", "--set", "alpha_p_warmup_epochs=1",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    assert proc.returncode == 0, f"{shlex.join(cmd)}\n{proc.stdout}\n{proc.stderr}"
+
+    mod = _tool("digits_quality")
+    rc = mod.main([
+        "--data-dir", str(data_dir), "--workdir", str(workdir),
+        "--runs", "dq_micro", "--n-samples", "100", "--platform", "cpu",
+    ])
+    assert rc == 0
+    summary = json.loads((workdir / "digits_quality.json").read_text())
+    refs = summary["references"]
+    # The garbage ceiling must dominate the real-vs-real floor by orders.
+    assert refs["fid_ceiling_noise_vs_test"] > refs["fid_floor_trainpool_vs_test"]
+    (row,) = summary["runs"]
+    assert row["run"] == "dq_micro"
+    assert row["fid_vs_test"] >= 0.0
+    assert 0.0 <= row["cond_fidelity_anchor"] <= 1.0
+    assert row["is_anchor_self_judged"] is True
+    assert row["nn_gen_to_trainpool_mean"] > 0.0
+    assert summary["fid_min"] <= summary["fid_mean"] <= summary["fid_max"]
 
 
 @pytest.mark.slow  # two CLI subprocesses compile the full train/eval steps

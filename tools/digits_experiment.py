@@ -80,6 +80,27 @@ def run_cli(args: list[str], log_path: str | None = None) -> str:
     return proc.stdout
 
 
+def paired_permutation_p(a: list[float], b: list[float]) -> float:
+    """Exact two-sided paired permutation test on the mean difference.
+
+    Under H0 (no arm effect) each seed's (a_i, b_i) pair is exchangeable,
+    so every sign assignment of the differences is equally likely; the
+    p-value is the fraction of the 2^n assignments whose |mean| reaches the
+    observed one. Unlike the sign test this uses the magnitudes. Exact
+    enumeration — fine for the seed counts this tool runs (2^20 ≈ 1M)."""
+    diffs = [x - y for x, y in zip(a, b)]
+    n = len(diffs)
+    if n == 0 or all(d == 0 for d in diffs):
+        return 1.0
+    observed = abs(sum(diffs))
+    hits = 0
+    for mask in range(1 << n):
+        s = sum(d if (mask >> i) & 1 else -d for i, d in enumerate(diffs))
+        if abs(s) >= observed - 1e-12:
+            hits += 1
+    return hits / float(1 << n)
+
+
 def supervised_baseline(
     data_dir: str, seed: int, steps: int, num_labeled: int = 100,
     lr: float = 3e-4, log_every: int = 500,
@@ -263,6 +284,7 @@ def main(argv=None) -> int:
         sign_p = min(1.0, 2.0 * tail / 2.0**n_pairs)
     else:
         sign_p = 1.0
+    perm_p = paired_permutation_p(baseline_errors, triplegan_errors)
     summary = {
         "dataset": "digits",
         "num_labeled": args.num_labeled,
@@ -274,6 +296,7 @@ def main(argv=None) -> int:
         "gain_pct": round(100 * gain, 2),
         "seed_wins": f"{wins}/{len(seeds)}",
         "sign_test_p": round(sign_p, 4),
+        "perm_test_p": round(perm_p, 4),
         "epochs": args.epochs,
         "baseline_steps": args.baseline_steps,
         "verdict": verdict,

@@ -121,8 +121,10 @@ def main(argv=None) -> int:
                 continue
             steps, vals = series[key]
             if args.smooth and len(vals) > 2:
-                ax.plot(steps, vals, alpha=0.25, lw=0.8)
-                ax.plot(steps, ema(vals, args.smooth), lw=1.4, label=label)
+                # raw + smoothed share one color so the pair reads as one run
+                (raw_line,) = ax.plot(steps, vals, alpha=0.25, lw=0.8)
+                ax.plot(steps, ema(vals, args.smooth), lw=1.4, label=label,
+                        color=raw_line.get_color())
             else:
                 ax.plot(steps, vals, lw=1.0, label=label)
         ax.set_title(key, fontsize=10)

@@ -191,8 +191,9 @@ def cmd_sample(args):
     print(f"wrote {args.out}")
 
 
-def _generate_samples(cfg, gen, restored, n, seed):
-    """Chunked class-conditional generation → raw [-1,1] sample array.
+def _generate_samples(cfg, gen, restored, n, seed, return_labels=False):
+    """Chunked class-conditional generation → raw [-1,1] sample array
+    (with the labels each sample was conditioned on when ``return_labels``).
 
     Fixed-size chunks (one compile, bounded activations): 5000 STL-10-sized
     samples in one forward would peak >10 GB of deconv activations."""
@@ -219,7 +220,10 @@ def _generate_samples(cfg, gen, restored, n, seed):
             zi = jnp.pad(z[i:], ((0, pad), (0, 0)))
         out = np.asarray(generate(restored, zi, jnp.pad(y[i : i + chunk], (0, pad))))
         pieces.append(out[: chunk - pad] if pad else out)
-    return np.concatenate(pieces, axis=0)
+    images = np.concatenate(pieces, axis=0)
+    if return_labels:
+        return images, np.asarray(y)
+    return images
 
 
 def _load_zca(cfg, workdir):
