@@ -592,3 +592,70 @@ def test_share_and_fused_flags_are_mutually_exclusive():
     opts = make_optimizers(cfg, 8)
     with pytest.raises(ValueError, match="mutually"):
         make_train_step(cfg, nets, opts, 8)
+
+
+# ---------------------------------------------------------------------------
+# preemption-safe shutdown (SIGTERM → checkpoint → resume)
+# ---------------------------------------------------------------------------
+
+
+def test_sigterm_checkpoints_and_resume_completes(tmp_path, monkeypatch):
+    """A SIGTERM mid-run must break the loop after the in-flight dispatch,
+    save a checkpoint, return preempted=True (skipping the slow final
+    re-eval), restore the previous handler, and let the SAME command resume
+    to completion (SURVEY §5 failure detection/recovery)."""
+    import signal
+
+    import triplegan_tpu.train.loop as loop_mod
+
+    cfg = tiny_config()
+    cfg.workdir = str(tmp_path)
+    cfg.steps_per_epoch = 2
+    cfg.epochs = 4
+    cfg.eval_every_epochs = 1  # first eval at step 2 → the signal hook below
+    cfg.ckpt_every_epochs = 0
+    data = tiny_data(cfg)
+    before = signal.getsignal(signal.SIGTERM)
+
+    real_eval = loop_mod.evaluate_error
+    fired = []
+
+    def eval_then_sigterm(*a, **k):
+        out = real_eval(*a, **k)
+        if not fired:  # deliver the real signal once, mid-loop
+            fired.append(True)
+            signal.raise_signal(signal.SIGTERM)
+        return out
+
+    with monkeypatch.context() as m:
+        m.setattr(loop_mod, "evaluate_error", eval_then_sigterm)
+        result = loop_mod.train(cfg, data=data, verbose=False)
+
+    assert result["preempted"] is True
+    assert result["steps"] == 2, "should stop right after the epoch-1 dispatch"
+    assert signal.getsignal(signal.SIGTERM) is before, "handler must be restored"
+    # The preempt save is on disk and the same command resumes to completion.
+    resumed = loop_mod.train(cfg, data=data, verbose=False)
+    assert resumed["preempted"] is False
+    assert resumed["steps"] == 8
+    assert resumed["test_error"] is not None
+
+
+def test_cli_train_exits_75_on_preemption(monkeypatch):
+    """cmd_train must exit 75 (EX_TEMPFAIL) for a preempted run so restart
+    policies re-run (= resume) instead of reading success or crash."""
+    import types
+
+    import triplegan_tpu.train.loop as loop_mod
+    from triplegan_tpu import cli
+
+    monkeypatch.setattr(
+        loop_mod, "train",
+        lambda cfg, max_steps=None: {"preempted": True, "steps": 3,
+                                     "test_error": None, "metrics": {},
+                                     "workdir": "w", "state": None},
+    )
+    monkeypatch.setattr(cli, "_load_cfg", lambda args: None)
+    with pytest.raises(SystemExit) as e:
+        cli.cmd_train(types.SimpleNamespace(max_steps=None))
+    assert e.value.code == 75

@@ -122,7 +122,7 @@ def main(argv=None) -> int:
     import numpy as np
 
     from triplegan_tpu import cli as tcli
-    from triplegan_tpu.eval.fid import activation_stats, fid_score, frechet_distance
+    from triplegan_tpu.eval.fid import activation_stats, frechet_distance
     from triplegan_tpu.eval.inception import inception_score
     from triplegan_tpu.train.loop import _resolve_data
 

@@ -78,6 +78,11 @@ def cmd_train(args):
     from triplegan_tpu.train.loop import train
 
     result = train(_load_cfg(args), max_steps=args.max_steps)
+    if result.get("preempted"):
+        # SIGTERM mid-run: state is checkpointed but the run is unfinished —
+        # exit 75 (EX_TEMPFAIL) so restart policies re-run the same command
+        # (which resumes) instead of treating this as success or a crash.
+        sys.exit(75)
     print(f"done: step={result['steps']} test_error={100 * result['test_error']:.2f}%")
 
 

@@ -11,6 +11,7 @@ only at log intervals.
 from __future__ import annotations
 
 import os
+import signal
 import time
 from typing import Optional
 
@@ -260,69 +261,95 @@ def train(
     profile_on = False
     profile_start = start_step + 2 * max(chunk, 1)
     profile_stop = profile_start + max(int(cfg.get("profile_steps", 10)), chunk)
+    # Preemption-safe shutdown (SURVEY §5 failure detection/recovery):
+    # orchestrators stop preemptible workers with SIGTERM plus a short grace
+    # window. Trip a flag, let the in-flight dispatch finish, checkpoint
+    # immediately (the final re-eval is SKIPPED — it may not fit the grace
+    # window), and return ``preempted=True`` (the CLI exits 75/EX_TEMPFAIL so
+    # restart policies can tell preemption from completion). Re-running the
+    # same command resumes from this save. Under multihost the orchestrator
+    # must SIGTERM every process — orbax saves are collective.
+    stop = {"sig": None}
+
+    def _on_sigterm(signum, frame):
+        stop["sig"] = signum
+
+    try:
+        prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # not the main thread (embedded caller) — no handler
+        prev_sigterm = None
+
     t_log = time.perf_counter()
     steps_since_log = 0
     it = start_step
-    while it < end_step:
-        if profile_dir and not profile_on and it >= profile_start:
-            jax.block_until_ready(state)
-            jax.profiler.start_trace(profile_dir)
-            profile_on = True
-        if scan_step is not None and it + chunk <= end_step:
-            state, metrics = scan_step(state, device_data)
-            taken = chunk
-        elif on_device:
-            state, metrics = step(state, device_data)
-            taken = 1
-        else:
-            state, metrics = step(state, next(batches))
-            taken = 1
-        prev, it = it, it + taken
-        steps_since_log += taken
-        if profile_on and it >= profile_stop:
-            jax.block_until_ready(metrics)
-            jax.profiler.stop_trace()
-            profile_on = False
-            profile_dir = ""
-            if verbose:
-                print(f"wrote profile trace to {cfg.profile_dir}")
+    try:
+        while it < end_step and stop["sig"] is None:
+            if profile_dir and not profile_on and it >= profile_start:
+                jax.block_until_ready(state)
+                jax.profiler.start_trace(profile_dir)
+                profile_on = True
+            if scan_step is not None and it + chunk <= end_step:
+                state, metrics = scan_step(state, device_data)
+                taken = chunk
+            elif on_device:
+                state, metrics = step(state, device_data)
+                taken = 1
+            else:
+                state, metrics = step(state, next(batches))
+                taken = 1
+            prev, it = it, it + taken
+            steps_since_log += taken
+            if profile_on and it >= profile_stop:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                profile_on = False
+                profile_dir = ""
+                if verbose:
+                    print(f"wrote profile trace to {cfg.profile_dir}")
 
-        # cadence 0 = interval logging disabled (the final fetch still runs,
-        # matching the eval/ckpt cadence-0 convention below)
-        log_hit = cfg.log_every and (it // cfg.log_every) > (prev // cfg.log_every)
-        if log_hit or it == end_step:
-            metrics = jax.device_get(metrics)
-            last_metrics = {k: float(v) for k, v in metrics.items()}
-            dt = time.perf_counter() - t_log
-            t_log = time.perf_counter()
-            imgs_per_sec = steps_since_log * cfg.batch_size / max(dt, 1e-9)
-            steps_since_log = 0
-            logger.scalars(it, {**last_metrics, "images_per_sec": imgs_per_sec})
-            if verbose:
-                terms = " ".join(f"{k}={v:.4f}" for k, v in sorted(last_metrics.items()))
-                print(f"step {it}/{total_steps} [{imgs_per_sec:.0f} img/s] {terms}")
+            # cadence 0 = interval logging disabled (the final fetch still
+            # runs, matching the eval/ckpt cadence-0 convention below)
+            log_hit = cfg.log_every and (it // cfg.log_every) > (prev // cfg.log_every)
+            if log_hit or it == end_step:
+                metrics = jax.device_get(metrics)
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                dt = time.perf_counter() - t_log
+                t_log = time.perf_counter()
+                imgs_per_sec = steps_since_log * cfg.batch_size / max(dt, 1e-9)
+                steps_since_log = 0
+                logger.scalars(it, {**last_metrics, "images_per_sec": imgs_per_sec})
+                if verbose:
+                    terms = " ".join(
+                        f"{k}={v:.4f}" for k, v in sorted(last_metrics.items())
+                    )
+                    print(f"step {it}/{total_steps} [{imgs_per_sec:.0f} img/s] {terms}")
 
-        epoch_done = (it // steps_per_epoch) > (prev // steps_per_epoch)
-        epoch = it // steps_per_epoch
-        # cadence 0 = disabled (final eval/ckpt after the loop still run)
-        if epoch_done and cfg.eval_every_epochs and epoch % cfg.eval_every_epochs == 0:
-            test_error = evaluate_error(eval_step, state, _test_stream(sampler, sharding))
-            eval_at = it
-            logger.scalars(it, {"test_error": test_error})
-            if verbose:
-                print(f"epoch {epoch}: test error {100 * test_error:.2f}%")
-            z, labels = class_grid_inputs(cfg, n_per_class=10, seed=cfg.seed)
-            grid = to_uint8_grid(sample_fn(state, z, labels), cfg.num_classes, 10)
-            logger.image(it, "samples", grid)
-            if coord:
-                save_png(grid, os.path.join(workdir, f"samples_{it:08d}.png"))
-        if epoch_done and cfg.ckpt_every_epochs and epoch % cfg.ckpt_every_epochs == 0:
-            ckpt.save(it, state)
-
+            epoch_done = (it // steps_per_epoch) > (prev // steps_per_epoch)
+            epoch = it // steps_per_epoch
+            # cadence 0 = disabled (final eval/ckpt after the loop still run)
+            if epoch_done and cfg.eval_every_epochs and epoch % cfg.eval_every_epochs == 0:
+                test_error = evaluate_error(
+                    eval_step, state, _test_stream(sampler, sharding)
+                )
+                eval_at = it
+                logger.scalars(it, {"test_error": test_error})
+                if verbose:
+                    print(f"epoch {epoch}: test error {100 * test_error:.2f}%")
+                z, labels = class_grid_inputs(cfg, n_per_class=10, seed=cfg.seed)
+                grid = to_uint8_grid(sample_fn(state, z, labels), cfg.num_classes, 10)
+                logger.image(it, "samples", grid)
+                if coord:
+                    save_png(grid, os.path.join(workdir, f"samples_{it:08d}.png"))
+            if epoch_done and cfg.ckpt_every_epochs and epoch % cfg.ckpt_every_epochs == 0:
+                ckpt.save(it, state)
+    finally:
+        if prev_sigterm is not None:  # stop intercepting before the slow tail
+            signal.signal(signal.SIGTERM, prev_sigterm)
+    preempted = stop["sig"] is not None
     if profile_on:  # run ended inside the profiled window
         jax.block_until_ready(state)
         jax.profiler.stop_trace()
-    if test_error is None or eval_at != it:
+    if not preempted and (test_error is None or eval_at != it):
         # Re-evaluate at the FINAL state when the last periodic eval is
         # stale (run ended mid-epoch): the reported "done" error must match
         # what `cli eval` computes from the final checkpoint (the parity
@@ -332,12 +359,16 @@ def train(
     ckpt.save(int(state.step), state)
     ckpt.close()
     logger.close()
+    if preempted and verbose:
+        print(f"preempted (SIGTERM): checkpointed at step {int(state.step)}; "
+              f"re-run the same command to resume")
     return {
         "steps": int(state.step),
         "test_error": test_error,
         "metrics": last_metrics,
         "workdir": workdir,
         "state": state,
+        "preempted": preempted,
     }
 
 
