@@ -461,3 +461,62 @@ def test_train_multihost_single_process_cluster(tmp_path):
     assert os.path.exists(os.path.join(run_dir, "config.json"))
     with open(os.path.join(run_dir, "metrics.jsonl")) as f:
         assert len(f.readlines()) >= 1
+
+
+_SUBPROCESS_2PROC_PREEMPT = _CLUSTER_PRELUDE + """
+from triplegan_tpu.configs import get_config
+
+cfg = cluster_cfg(get_config("mnist100"), {wd!r}, {port}, TINY_NET_OVERRIDES)
+cfg.epochs = 4
+cfg.log_every = 0
+cfg.eval_every_epochs = 1
+cfg.ckpt_every_epochs = 0
+
+import signal
+import triplegan_tpu.train.loop as loop_mod
+
+if pid == 0:
+    # Deliver SIGTERM to THIS PROCESS ONLY, right after the epoch-1
+    # collective eval — the ADVICE r3 #1 scenario: without the cross-process
+    # stop sync, process 0 would enter the collective preempt save while
+    # process 1 dispatches step 3, deadlocking the cluster until the
+    # harness timeout kills both.
+    real_eval = loop_mod.evaluate_error
+    fired = []
+
+    def eval_then_sigterm(*a, **k):
+        out = real_eval(*a, **k)
+        if not fired:
+            fired.append(True)
+            signal.raise_signal(signal.SIGTERM)
+        return out
+
+    loop_mod.evaluate_error = eval_then_sigterm
+
+summary = loop_mod.train(cfg, verbose=False)
+print(f"PREEMPT pid={{pid}} steps={{summary['steps']}} "
+      f"preempted={{summary['preempted']}}", flush=True)
+"""
+
+
+@pytest.mark.slow  # multi-minute end-to-end drive
+def test_two_process_single_signal_preemption(tmp_path):
+    """VERDICT r3 next-step #8 / ADVICE r3 #1: SIGTERM delivered to ONLY
+    ONE process of a 2-process cluster must stop BOTH processes together at
+    the same iteration (the stop bit is all-gathered at dispatch
+    boundaries) and commit one collective preempt checkpoint — not deadlock
+    the un-signalled peer inside its next collective dispatch."""
+    port = 18300 + (os.getpid() % 1000)
+    wd = str(tmp_path / "preempt2p")
+    outs = _run_2proc(
+        _SUBPROCESS_2PROC_PREEMPT.format(wd=wd, port=port), [], str(tmp_path)
+    )
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("PREEMPT")][0]
+        parts = dict(kv.split("=") for kv in line.split()[1:])
+        assert parts["preempted"] == "True", out[-2000:]
+        assert parts["steps"] == "2", out[-2000:]
+    # the collective preempt checkpoint committed exactly once, at step 2
+    ckpt_dir = os.path.join(wd, "mnist100", "ckpt")
+    steps = sorted(d for d in os.listdir(ckpt_dir) if d.isdigit())
+    assert steps == ["2"], steps

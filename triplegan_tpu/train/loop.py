@@ -267,12 +267,42 @@ def train(
     # immediately (the final re-eval is SKIPPED — it may not fit the grace
     # window), and return ``preempted=True`` (the CLI exits 75/EX_TEMPFAIL so
     # restart policies can tell preemption from completion). Re-running the
-    # same command resumes from this save. Under multihost the orchestrator
-    # must SIGTERM every process — orbax saves are collective.
+    # same command resumes from this save.
+    #
+    # Two stop transports, one DECISION:
+    #   * SIGTERM → a process-local flag;
+    #   * a ``<workdir>/STOP`` file, polled at dispatch boundaries — touch
+    #     it to stop a run gracefully without signalling, and under
+    #     multihost it lets ONE command stop the whole pod (shared workdir).
+    # Under multihost the decision itself must be GLOBALLY CONSISTENT at the
+    # SAME iteration on every process: the train/eval/ckpt dispatches are
+    # collective, so a process that stops while a peer dispatches one more
+    # step deadlocks the pod. ``_global_stop`` all-gathers the local bit at
+    # fixed program points (loop top + post-dispatch), so all processes see
+    # the same verdict at the same point regardless of which process the
+    # signal or stop-file write landed on.
     stop = {"sig": None}
+    stop_file = os.path.join(workdir, "STOP")
+    if coord and os.path.exists(stop_file):
+        os.remove(stop_file)  # stale from a previous preempted run
 
     def _on_sigterm(signum, frame):
         stop["sig"] = signum
+
+    multihost_sync = jax.process_count() > 1
+
+    def _global_stop() -> bool:
+        # Only the coordinator polls the stop-file: it is also the process
+        # that removes a stale one at startup, so the read can never race
+        # the removal (a non-coordinator could otherwise see last run's
+        # STOP before the coordinator deletes it and kill a resumed run at
+        # iteration 0). The allgather fans the coordinator's verdict out.
+        local = stop["sig"] is not None or (coord and os.path.exists(stop_file))
+        if not multihost_sync:
+            return local
+        from jax.experimental import multihost_utils
+
+        return bool(np.any(multihost_utils.process_allgather(np.asarray(local))))
 
     try:
         prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
@@ -282,8 +312,15 @@ def train(
     t_log = time.perf_counter()
     steps_since_log = 0
     it = start_step
+    stopping = False
     try:
-        while it < end_step and stop["sig"] is None:
+        while it < end_step:
+            # Loop-top check catches a stop that arrived during the
+            # previous iteration's eval/sample/ckpt tail, BEFORE the next
+            # dispatch is issued.
+            stopping = _global_stop()
+            if stopping:
+                break
             if profile_dir and not profile_on and it >= profile_start:
                 jax.block_until_ready(state)
                 jax.profiler.start_trace(profile_dir)
@@ -326,8 +363,15 @@ def train(
 
             epoch_done = (it // steps_per_epoch) > (prev // steps_per_epoch)
             epoch = it // steps_per_epoch
+            if epoch_done and (cfg.eval_every_epochs or cfg.ckpt_every_epochs):
+                # Post-dispatch check: a stop that landed during the
+                # dispatch skips the periodic eval/sample/ckpt tail — the
+                # grace window is for the preempt checkpoint, not for a
+                # full eval + grid render (the post-loop save still runs).
+                stopping = _global_stop()
             # cadence 0 = disabled (final eval/ckpt after the loop still run)
-            if epoch_done and cfg.eval_every_epochs and epoch % cfg.eval_every_epochs == 0:
+            if (epoch_done and not stopping and cfg.eval_every_epochs
+                    and epoch % cfg.eval_every_epochs == 0):
                 test_error = evaluate_error(
                     eval_step, state, _test_stream(sampler, sharding)
                 )
@@ -340,28 +384,38 @@ def train(
                 logger.image(it, "samples", grid)
                 if coord:
                     save_png(grid, os.path.join(workdir, f"samples_{it:08d}.png"))
-            if epoch_done and cfg.ckpt_every_epochs and epoch % cfg.ckpt_every_epochs == 0:
+            if (epoch_done and not stopping and cfg.ckpt_every_epochs
+                    and epoch % cfg.ckpt_every_epochs == 0):
                 ckpt.save(it, state)
+
+        # One more synced check when the loop ran to completion: a stop that
+        # arrived after the last dispatch must skip the final re-eval too
+        # (and the decision must be consistent — the re-eval is collective).
+        preempted = stopping or _global_stop()
+        if profile_on:  # run ended inside the profiled window
+            jax.block_until_ready(state)
+            jax.profiler.stop_trace()
+        if not preempted and (test_error is None or eval_at != it):
+            # Re-evaluate at the FINAL state when the last periodic eval is
+            # stale (run ended mid-epoch): the reported "done" error must match
+            # what `cli eval` computes from the final checkpoint (the parity
+            # protocol compares exactly these two numbers, docs/PARITY.md §4).
+            test_error = evaluate_error(eval_step, state, _test_stream(sampler, sharding))
+            logger.scalars(it, {"test_error": test_error})
+        ckpt.save(int(state.step), state)
+        ckpt.close()
     finally:
-        if prev_sigterm is not None:  # stop intercepting before the slow tail
+        # The flag handler stays installed through the preempt save: grace
+        # windows commonly re-send SIGTERM, and a default-action second
+        # signal mid-save would kill the process before the checkpoint
+        # commits (orbax atomicity protects integrity, not progress).
+        # Restore only after ckpt.save + close have returned.
+        if prev_sigterm is not None:
             signal.signal(signal.SIGTERM, prev_sigterm)
-    preempted = stop["sig"] is not None
-    if profile_on:  # run ended inside the profiled window
-        jax.block_until_ready(state)
-        jax.profiler.stop_trace()
-    if not preempted and (test_error is None or eval_at != it):
-        # Re-evaluate at the FINAL state when the last periodic eval is
-        # stale (run ended mid-epoch): the reported "done" error must match
-        # what `cli eval` computes from the final checkpoint (the parity
-        # protocol compares exactly these two numbers, docs/PARITY.md §4).
-        test_error = evaluate_error(eval_step, state, _test_stream(sampler, sharding))
-        logger.scalars(it, {"test_error": test_error})
-    ckpt.save(int(state.step), state)
-    ckpt.close()
     logger.close()
     if preempted and verbose:
-        print(f"preempted (SIGTERM): checkpointed at step {int(state.step)}; "
-              f"re-run the same command to resume")
+        print(f"preempted (SIGTERM/STOP): checkpointed at step "
+              f"{int(state.step)}; re-run the same command to resume")
     return {
         "steps": int(state.step),
         "test_error": test_error,
