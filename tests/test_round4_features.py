@@ -230,3 +230,19 @@ def test_sigterm_handler_installed_through_preempt_save(tmp_path, monkeypatch):
             "flag handler must stay installed through ckpt.save"
         )
     assert signal.getsignal(signal.SIGTERM) is before  # restored at the end
+
+
+def test_cli_set_accepts_lowercase_booleans():
+    """`--set k=false` (universal CLI convention) must coerce to bool —
+    ml_collections otherwise rejects the string with a type error
+    (hit by tools/sharefwd_ab.py's share_pseudo_forward=false)."""
+    from triplegan_tpu.cli import _apply_overrides
+    from triplegan_tpu.configs import get_config
+
+    cfg = _apply_overrides(get_config("mnist100"), [
+        "share_pseudo_forward=true", "zca=false", "dataset=digits",
+        "aug_flip=False",  # the Python-literal spelling keeps working
+    ])
+    assert cfg.share_pseudo_forward is True
+    assert cfg.zca is False and cfg.aug_flip is False
+    assert cfg.dataset == "digits"

@@ -53,6 +53,54 @@ def test_dry_run_synthetic_skips_prepare(tmp_path, capsys):
     assert "--set epochs=500" in out
 
 
+def test_override_passthrough_reaches_both_arms(tmp_path, capsys):
+    mod = _tool()
+    rc = mod.main([
+        "--data-dir", str(tmp_path), "--workdir", str(tmp_path),
+        "--seeds", "1", "--override", "scan_steps=12",
+        "--override", "scan_metrics=mean", "--dry-run",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("--set scan_steps=12") == 4  # 2 arms x train+eval
+    assert out.count("--set scan_metrics=mean") == 4
+
+
+def test_resume_skips_completed_train_legs(tmp_path, monkeypatch):
+    """--resume must skip the train leg for an arm whose log shows a
+    completed run ('done: step=' — printed only on non-preempted
+    completion, cli.py:88) and still run its eval; incomplete arms train
+    normally. Restarting a tunnel-killed campaign must not retrain."""
+    mod = _tool()
+    wd = tmp_path / "runs"
+    wd.mkdir()
+    # seed 1 completed; seed 2's log exists but was cut off mid-train
+    (wd / "ab_digits_n100_s1_off_train.log").write_text(
+        "step 3600/3600 [9000 img/s] loss_c=1.0\ndone: step=3600 "
+        "test_error=5.00%\n")
+    (wd / "ab_digits_n100_s1_on_train.log").write_text(
+        "step 1200/3600 [9000 img/s] loss_c=1.5\n")  # no done line
+
+    calls = []
+
+    def fake_run_cli(cmd, log_path=None):
+        calls.append(cmd[0])
+        return "test error: 5.00%"
+
+    monkeypatch.setattr(mod, "run_cli", fake_run_cli)
+    rc = mod.main([
+        "--data-dir", str(tmp_path / "data"), "--workdir", str(wd),
+        "--seeds", "1", "--resume",
+    ])
+    assert rc == 0
+    # prepare + (s1_off: eval only) + (s1_on: train + eval)
+    assert calls == ["prepare", "eval", "train", "eval"]
+
+    assert mod.train_completed(str(wd / "ab_digits_n100_s1_off_train.log"))
+    assert not mod.train_completed(str(wd / "ab_digits_n100_s1_on_train.log"))
+    assert not mod.train_completed(str(wd / "nonexistent.log"))
+
+
 def test_rejects_duplicate_seeds_and_unbalanced_budget(tmp_path):
     mod = _tool()
     with pytest.raises(SystemExit):

@@ -77,6 +77,18 @@ paired_permutation_p = _exp.paired_permutation_p
 METRICS_RE = re.compile(r"^step \d+/\d+ \[[0-9.]+ img/s\] (.+)$")
 
 
+def train_completed(log_path: str) -> bool:
+    """True when a prior train leg ran to completion: the CLI prints
+    ``done: step=N ...`` ONLY on non-preempted completion (cli.py:88 —
+    preemption exits 75 before it, crashes never reach it), so its
+    presence in the log is a sound resume marker."""
+    try:
+        with open(log_path) as f:
+            return bool(re.search(r"^done: step=\d+", f.read(), re.M))
+    except OSError:
+        return False
+
+
 def parse_final_metrics(log_path: str) -> dict:
     """Last per-step metrics line of a train log → {term: value}. Used by
     the synthetic leg to compare arm stability (loss terms in range), since
@@ -117,6 +129,19 @@ def main(argv=None) -> int:
                     help="0 = final eval only (the compared number)")
     ap.add_argument("--ckpt-every-epochs", type=int, default=0)
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    ap.add_argument("--override", action="append", default=[],
+                    help="extra --set k=v applied to BOTH arms' train+eval "
+                         "(e.g. scan_steps=12 to amortize tunnel dispatch "
+                         "round-trips — trajectory-identical, "
+                         "tests/test_parallel.py scan≡sequential)")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip an arm's train leg when its log already shows "
+                         "a completed run ('done: step=' line); the eval leg "
+                         "then scores the existing checkpoint. Trusts that "
+                         "the prior run used the same settings (run names "
+                         "encode dataset/n/seed/arm but not epochs). For "
+                         "restarting a campaign the flaky tunnel killed "
+                         "mid-way without retraining finished arms.")
     ap.add_argument("--dry-run", action="store_true",
                     help="print the stage commands without running anything")
     args = ap.parse_args(argv)
@@ -142,6 +167,8 @@ def main(argv=None) -> int:
             "--set", f"num_labeled={args.num_labeled}",
             "--set", f"share_pseudo_forward={value}",
         ]
+        for kv in args.override:
+            overrides += ["--set", kv]
         return {
             "train": ["train", "--config", args.config, *common, *overrides,
                       "--set", f"epochs={args.epochs}",
@@ -175,7 +202,11 @@ def main(argv=None) -> int:
             cmds = stage_cmds(seed, arm, value)
             print(f"=== seed {seed}: share_pseudo_forward={value} ===",
                   flush=True)
-            run_cli(cmds["train"], log_path=cmds["log"])
+            if args.resume and train_completed(cmds["log"]):
+                print(f"  resume: {cmds['log']} already complete, "
+                      "skipping train", flush=True)
+            else:
+                run_cli(cmds["train"], log_path=cmds["log"])
             out = run_cli(cmds["eval"])
             m = ERROR_RE.search(out)
             if not m:

@@ -29,7 +29,9 @@ def _apply_overrides(cfg, overrides):
         try:
             val = ast.literal_eval(raw)
         except (SyntaxError, ValueError):
-            val = raw
+            # bare lowercase booleans are a universal CLI convention;
+            # everything else non-literal stays a string
+            val = {"true": True, "false": False}.get(raw.lower(), raw)
         node = cfg
         *parents, leaf = key.split(".")
         for p in parents:
