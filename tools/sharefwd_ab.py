@@ -177,6 +177,7 @@ def main(argv=None) -> int:
                       "--set", f"ckpt_every_epochs={args.ckpt_every_epochs}"],
             "eval": ["eval", "--config", args.config, *common, *overrides],
             "log": os.path.join(args.workdir, f"{name}_train.log"),
+            "eval_cache": os.path.join(args.workdir, f"{name}_eval.json"),
         }
 
     prepare_cmd = ["prepare", "--dataset", "digits", "--data-dir", args.data_dir]
@@ -207,13 +208,24 @@ def main(argv=None) -> int:
                       "skipping train", flush=True)
             else:
                 run_cli(cmds["train"], log_path=cmds["log"])
-            out = run_cli(cmds["eval"])
-            m = ERROR_RE.search(out)
-            if not m:
-                print(f"could not parse test error for seed {seed} arm {arm}",
-                      file=sys.stderr)
-                return 1
-            errors[arm].append(float(m.group(1)) / 100.0)
+            # Evals over the flaky tunnel cost ~6 min each; cache each
+            # arm's scored error so a killed campaign never re-evals.
+            if args.resume and os.path.exists(cmds["eval_cache"]):
+                with open(cmds["eval_cache"]) as f:
+                    err_pct = json.load(f)["test_error_pct"]
+                print(f"  resume: eval cached ({err_pct}%), skipping",
+                      flush=True)
+            else:
+                out = run_cli(cmds["eval"])
+                m = ERROR_RE.search(out)
+                if not m:
+                    print(f"could not parse test error for seed {seed} "
+                          f"arm {arm}", file=sys.stderr)
+                    return 1
+                err_pct = float(m.group(1))
+                with open(cmds["eval_cache"], "w") as f:
+                    json.dump({"test_error_pct": err_pct}, f)
+            errors[arm].append(err_pct / 100.0)
             final_metrics[arm].append(parse_final_metrics(cmds["log"]))
 
     off, on = errors["off"], errors["on"]

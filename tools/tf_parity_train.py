@@ -408,6 +408,11 @@ def main(argv=None) -> int:
                     help="summary JSON holding this framework's errors for "
                          "the same recipe (e.g. sharefwd_ab_digits_n100.json)")
     ap.add_argument("--compare-key", default="off_errors_pct")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip seeds whose per-seed result JSON already "
+                         "exists in --workdir (each TF seed trains ~1 h on "
+                         "this CPU; a crash mid-campaign must not retrain "
+                         "finished seeds)")
     ap.add_argument("--dry-run", action="store_true")
     args = ap.parse_args(argv)
 
@@ -434,12 +439,24 @@ def main(argv=None) -> int:
 
     errors, curves = [], {}
     for seed in seeds:
-        data = load_dataset(args.data_dir, "digits", args.num_labeled,
-                            cfg.num_classes, seed)
-        print(f"=== TF full training, seed {seed} ===", flush=True)
-        err, log = train_tf(cfg, data, args.epochs, args.warmup_epochs, seed)
-        print(f"  tf seed={seed} final test error: {100 * err:.2f}%",
-              flush=True)
+        seed_path = os.path.join(
+            args.workdir, f"tf_seed{seed}_n{args.num_labeled}.json")
+        if args.resume and os.path.exists(seed_path):
+            with open(seed_path) as f:
+                rec = json.load(f)
+            err, log = rec["error"], rec["curve"]
+            print(f"=== TF full training, seed {seed}: cached "
+                  f"({100 * err:.2f}%), skipping ===", flush=True)
+        else:
+            data = load_dataset(args.data_dir, "digits", args.num_labeled,
+                                cfg.num_classes, seed)
+            print(f"=== TF full training, seed {seed} ===", flush=True)
+            err, log = train_tf(cfg, data, args.epochs, args.warmup_epochs,
+                                seed)
+            print(f"  tf seed={seed} final test error: {100 * err:.2f}%",
+                  flush=True)
+            with open(seed_path, "w") as f:
+                json.dump({"seed": seed, "error": err, "curve": log}, f)
         errors.append(err)
         curves[str(seed)] = log
 
