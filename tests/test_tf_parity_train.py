@@ -47,11 +47,16 @@ def test_two_sample_perm_p():
         [1.0, 1.1, 0.9, 1.05, 0.95], [9.0, 9.1, 8.9, 9.05, 8.95]) < 0.05
 
 
-@pytest.mark.slow  # trains real TF for a few dozen steps
+@pytest.mark.slow  # trains real TF for a few hundred steps
 def test_tf_micro_training_learns_and_summary_schema(tmp_path):
-    """A micro TF run (real digits, 8 epochs) must beat chance by a wide
+    """A micro TF run (real digits, 20 epochs) must beat chance by a wide
     margin — the TF implementation genuinely trains — and the summary JSON
-    must carry the comparison fields when --compare-json is given."""
+    must carry the comparison fields when --compare-json is given.
+
+    20 epochs (240 steps), not fewer: BN running statistics use momentum
+    0.99 (timescale ~100 steps), so eval-mode predictions stay at the 90%
+    chance floor until the running stats warm up — measured 90.00% at 8
+    epochs vs 32.2% at 20 epochs on this box."""
     pytest.importorskip("tensorflow")
     from triplegan_tpu.data.prepare import prepare
 
@@ -66,15 +71,15 @@ def test_tf_micro_training_learns_and_summary_schema(tmp_path):
     mod = _tool()
     rc = mod.main([
         "--data-dir", data_dir, "--workdir", str(tmp_path / "runs"),
-        "--seeds", "1", "--epochs", "8", "--warmup-epochs", "4",
+        "--seeds", "1", "--epochs", "20", "--warmup-epochs", "10",
         "--compare-json", cmp_path, "--compare-key", "off_errors_pct",
     ])
     assert rc == 0
     with open(tmp_path / "runs" / "tf_parity_summary_n100.json") as f:
         summary = json.load(f)
     assert summary["implementation"] == "independent-tf2"
-    # 96 steps of the full stochastic recipe: far better than the 90%
-    # chance floor (typically ~15-40%), though far from converged.
+    # 240 steps of the full stochastic recipe: far better than the 90%
+    # chance floor (measured 32.2% on this box), though far from converged.
     assert summary["tf_errors_pct"][0] < 65.0
     assert summary["perm_test_p"] is not None
     assert summary["verdict"] in ("AGREE", "DISAGREE")
