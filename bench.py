@@ -173,7 +173,12 @@ def main() -> None:
     cfg.compute_dtype = dtype
     cfg.fused_clf_forward = os.environ.get("BENCH_FUSED_CLF", "0") == "1"
     cfg.use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
-    cfg.share_pseudo_forward = os.environ.get("BENCH_SHARE_FWD", "0") == "1"
+    # Default ON since round 4: the −9% FLOP lever was quality-qualified
+    # on real data (10-seed digits A/B, perm p=1.000) and for stability at
+    # the cifar10_4k architecture (3-seed synthetic A/B) — docs/PARITY.md
+    # §9. Shipped dataset configs keep it off (reference semantics);
+    # BENCH_SHARE_FWD=0 restores the exact-semantics bench.
+    cfg.share_pseudo_forward = os.environ.get("BENCH_SHARE_FWD", "1") == "1"
     if os.environ.get("BENCH_NO_AUG", "0") == "1":
         cfg.aug_translate = 0
         cfg.aug_flip = False
