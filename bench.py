@@ -26,12 +26,16 @@ Robustness: device init is probed first in a subprocess with a timeout
 (BENCH_DEVICE_TIMEOUT, default 600 s per probe; BENCH_DEVICE_RETRIES
 probes, default 3, with BENCH_DEVICE_RETRY_BACKOFF s between them,
 default 200 — the 2026-08-17/18 outage showed the tunnel often returns
-within minutes; skip with BENCH_SKIP_DEVICE_GUARD=1). Only after every
-probe fails does a dead TPU tunnel yield one honest error-JSON line
-instead of a hang. Each successful on-chip run records its output line
-to BENCH_LATEST.json (suppress with BENCH_NO_RECORD=1), which is where
-the guard's "last recorded measurement" context is read from — never a
-hardcoded literal (VERDICT r3 weak #1/#3).
+within minutes; all probes+backoffs are capped by
+BENCH_DEVICE_TOTAL_BUDGET, default 1200 s, so the honest error JSON
+lands before a plausible outer driver timeout; skip with
+BENCH_SKIP_DEVICE_GUARD=1). Only after every probe fails does a dead TPU
+tunnel yield one honest error-JSON line instead of a hang. Each
+successful on-chip run AT THE HEADLINE KNOB SET (every BENCH_* knob at
+its default) records its output line to BENCH_LATEST.json (suppress
+with BENCH_NO_RECORD=1), which is where the guard's "last recorded
+measurement" context is read from — never a hardcoded literal (VERDICT
+r3 weak #1/#3); variant/sweep runs never overwrite it.
 """
 
 from __future__ import annotations
@@ -52,7 +56,7 @@ def _last_recorded_bench(root: str = None) -> str:
     import glob
 
     root = root or os.path.dirname(os.path.abspath(__file__))
-    best = None  # (is_latest, round_n, value, label)
+    best = None  # (key, label)
     for path in glob.glob(os.path.join(root, "BENCH_*.json")):
         try:
             with open(path) as f:
@@ -64,12 +68,38 @@ def _last_recorded_bench(root: str = None) -> str:
         if not isinstance(value, (int, float)):
             continue
         name = os.path.basename(path)
-        key = (name == "BENCH_LATEST.json", int(rec.get("n", 0) or 0))
+        # Recency key: file mtime. The driver's BENCH_r*.json carry a round
+        # number and the bench's BENCH_LATEST.json a date — not mutually
+        # comparable — but on the machine where this guard runs, whichever
+        # artifact was WRITTEN last is the freshest number (a newer driver
+        # record must beat a stale LATEST whose refresh was suppressed).
+        try:
+            key = os.path.getmtime(path)
+        except OSError:
+            key = 0.0
         when = rec.get("recorded", "")
         label = f"{value} img/s ({name}{', ' + when if when else ''})"
         if best is None or key > best[0]:
             best = (key, label)
     return best[1] if best else ""
+
+
+# Every BENCH_* knob that changes what the number MEANS, with its default.
+# A run qualifies as "the headline measurement" (and may refresh
+# BENCH_LATEST.json) only when all of them are at defaults — BENCH_STEPS /
+# BENCH_BASELINE_IMG_S affect timing quality and the ratio denominator,
+# not the measured configuration, so they are deliberately absent.
+_HEADLINE_KNOBS = {
+    "BENCH_BATCH": "384", "BENCH_DTYPE": "bfloat16", "BENCH_SCAN": "20",
+    "BENCH_DEVICE_DATA": "1", "BENCH_RBG": "1", "BENCH_DROPOUT_BITS": "8",
+    "BENCH_FUSED_CLF": "0", "BENCH_PALLAS": "0", "BENCH_SHARE_FWD": "1",
+    "BENCH_NO_AUG": "0", "BENCH_NO_ZCA": "0", "BENCH_CONFIG": "cifar10_4k",
+    "BENCH_PEAK_TFLOPS": "197",
+}
+
+
+def _is_headline_run() -> bool:
+    return all(os.environ.get(k, d) == d for k, d in _HEADLINE_KNOBS.items())
 
 
 def _guard_device_init() -> None:
@@ -89,12 +119,26 @@ def _guard_device_init() -> None:
     timeout_s = int(os.environ.get("BENCH_DEVICE_TIMEOUT", "600"))
     retries = max(1, int(os.environ.get("BENCH_DEVICE_RETRIES", "3")))
     backoff_s = float(os.environ.get("BENCH_DEVICE_RETRY_BACKOFF", "200"))
-    for attempt in range(retries):
-        findings, _, _ = check_device(timeout_s)
+    # Total-deadline cap: with a fully dead tunnel, unbounded retries would
+    # stay silent for retries×timeout + backoffs (~37 min at defaults) —
+    # long enough that an outer driver/CI timeout kills the process with NO
+    # output, re-creating the exact lost-artifact failure this guard exists
+    # to prevent. The error JSON must land within the budget; retry probes
+    # shrink to the remaining time (min 60 s) and stop when none is left.
+    total_budget = float(os.environ.get("BENCH_DEVICE_TOTAL_BUDGET", "1200"))
+    t_start = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        remaining = total_budget - (time.monotonic() - t_start)
+        probe_t = timeout_s if attempt == 1 else int(min(timeout_s, max(remaining, 60)))
+        findings, _, _ = check_device(probe_t)
         if findings[0][0] == "ok":
             return
-        if attempt + 1 < retries:
-            time.sleep(backoff_s)
+        remaining = total_budget - (time.monotonic() - t_start)
+        if attempt >= retries or remaining < backoff_s + 60:
+            break
+        time.sleep(backoff_s)
     last = _last_recorded_bench()
     print(
         json.dumps(
@@ -104,8 +148,8 @@ def _guard_device_init() -> None:
                 "unit": "images/sec/chip",
                 "vs_baseline": None,
                 "error": findings[0][2]
-                + f" — after {retries} probes ({timeout_s}s each, "
-                f"{backoff_s:g}s backoff)"
+                + f" — after {attempt} probes ({timeout_s}s budget each, "
+                f"{backoff_s:g}s backoff, {total_budget:g}s total cap)"
                 + (f" — last recorded on-chip measurement: {last}" if last else ""),
             }
         )
@@ -318,12 +362,15 @@ def main() -> None:
     }
     print(json.dumps(result))
     # Refresh the on-disk "last known good" record the device-guard error
-    # message reads from. Only real-chip default-config runs qualify: a CPU
-    # smoke or an A/B variant run must not masquerade as the headline number.
+    # message reads from. Only real-chip HEADLINE-configuration runs
+    # qualify: a CPU smoke or an A/B variant run (different batch/dtype/
+    # flags via the BENCH_* knobs) must not masquerade as the headline
+    # number — the gate checks every result-affecting knob against its
+    # default, not just the config name.
     if (
         platform != "cpu"
         and os.environ.get("BENCH_NO_RECORD") != "1"
-        and cfg.name == "cifar10_4k"
+        and _is_headline_run()
         and jax.default_backend() != "cpu"
     ):
         try:

@@ -211,26 +211,103 @@ def test_bench_guard_retry_recovers(monkeypatch):
 
 
 def test_last_recorded_bench_reads_artifacts(tmp_path):
-    """The guard's context string prefers BENCH_LATEST.json (refreshed by
-    every real-chip run), falls back to the highest-round driver artifact,
-    and skips null-value records (the r3 outage artifact)."""
+    """The guard's context string carries the most recently WRITTEN
+    numeric artifact (file mtime — round numbers and recorded dates are
+    not mutually comparable), and skips null-value records (the r3 outage
+    artifact). In particular a driver BENCH_r*.json newer than a stale
+    BENCH_LATEST.json (e.g. its refresh was suppressed with
+    BENCH_NO_RECORD=1) wins."""
     import json
+    import os as os_mod
 
     import bench
 
+    def put(name, rec, mtime):
+        p = tmp_path / name
+        p.write_text(json.dumps(rec))
+        os_mod.utime(p, (mtime, mtime))  # explicit, distinct mtimes
+        return p
+
     assert bench._last_recorded_bench(str(tmp_path)) == ""
-    (tmp_path / "BENCH_r02.json").write_text(
-        json.dumps({"n": 2, "parsed": {"value": 8433.84}}))
-    (tmp_path / "BENCH_r03.json").write_text(
-        json.dumps({"n": 3, "parsed": {"value": None}}))  # outage artifact
+    put("BENCH_r02.json", {"n": 2, "parsed": {"value": 8433.84}}, 1000)
+    put("BENCH_r03.json", {"n": 3, "parsed": {"value": None}}, 2000)  # outage
     assert "8433.84 img/s (BENCH_r02.json)" == bench._last_recorded_bench(
         str(tmp_path))
-    (tmp_path / "BENCH_LATEST.json").write_text(
-        json.dumps({"recorded": "2026-08-19", "parsed": {"value": 8723.21}}))
+    put("BENCH_LATEST.json",
+        {"recorded": "2026-08-19", "parsed": {"value": 8723.21}}, 3000)
     assert bench._last_recorded_bench(str(tmp_path)) == (
         "8723.21 img/s (BENCH_LATEST.json, 2026-08-19)")
+    put("BENCH_bad.json", {}, 4000)
     (tmp_path / "BENCH_bad.json").write_text("{not json")  # ignored
     assert "8723.21" in bench._last_recorded_bench(str(tmp_path))
+    # a NEWER driver artifact beats the stale LATEST record
+    put("BENCH_r05.json", {"n": 5, "parsed": {"value": 9354.39}}, 5000)
+    assert "9354.39 img/s (BENCH_r05.json)" == bench._last_recorded_bench(
+        str(tmp_path))
+
+
+def test_bench_guard_total_budget_caps_retries(monkeypatch, capsys):
+    """With a dead tunnel, the guard's error JSON must land within
+    BENCH_DEVICE_TOTAL_BUDGET: when no budget remains for another
+    backoff+probe, retries stop early — an outer driver/CI timeout must
+    not kill the process before any output (the r3 lost-artifact mode)."""
+    import json
+    import time as time_mod
+
+    import bench
+    import triplegan_tpu.doctor as doc
+
+    probes, sleeps = [], []
+    clock = {"t": 0.0}
+
+    def dead_check_device(timeout_s):
+        probes.append(timeout_s)
+        clock["t"] += timeout_s  # each probe burns its whole timeout
+        return [("fail", "device", "device init hung >600s")], None, None
+
+    monkeypatch.setattr(doc, "check_device", dead_check_device)
+    monkeypatch.setattr(time_mod, "monotonic", lambda: clock["t"])
+    monkeypatch.setattr(time_mod, "sleep", lambda s: sleeps.append(s) or
+                        clock.__setitem__("t", clock["t"] + s))
+    monkeypatch.delenv("BENCH_SKIP_DEVICE_GUARD", raising=False)
+    monkeypatch.setenv("BENCH_DEVICE_RETRIES", "3")
+    monkeypatch.setenv("BENCH_DEVICE_RETRY_BACKOFF", "200")
+    monkeypatch.setenv("BENCH_DEVICE_TOTAL_BUDGET", "700")
+    with pytest.raises(SystemExit) as ei:
+        bench._guard_device_init()
+    assert ei.value.code == 0
+    # probe 1 (600 s) leaves 100 s — not enough for backoff(200)+probe(60),
+    # so exactly one probe ran and no backoff was slept
+    assert probes == [600]
+    assert sleeps == []
+    parsed = json.loads(capsys.readouterr().out.strip())
+    assert parsed["value"] is None
+    assert "700s total cap" in parsed["error"]
+
+
+def test_bench_headline_gate_rejects_variant_runs(monkeypatch):
+    """BENCH_LATEST.json may only be refreshed by a run with every
+    result-affecting BENCH_* knob at its default: an A/B variant (e.g.
+    BENCH_SHARE_FWD=0 or a batch sweep) must not overwrite the headline
+    record the outage message reports as 'last recorded'."""
+    import bench
+
+    for k in bench._HEADLINE_KNOBS:
+        monkeypatch.delenv(k, raising=False)
+    assert bench._is_headline_run()
+    # explicitly setting a knob TO its default still qualifies
+    monkeypatch.setenv("BENCH_BATCH", "384")
+    assert bench._is_headline_run()
+    for knob, bad in [
+        ("BENCH_BATCH", "512"), ("BENCH_SHARE_FWD", "0"),
+        ("BENCH_NO_AUG", "1"), ("BENCH_CONFIG", "mnist100"),
+        ("BENCH_DTYPE", "float32"),
+    ]:
+        monkeypatch.setenv(knob, bad)
+        assert not bench._is_headline_run(), knob
+        monkeypatch.delenv(knob)
+        if knob == "BENCH_BATCH":
+            monkeypatch.setenv("BENCH_BATCH", "384")
 
 
 def test_bench_cpu_smoke():

@@ -280,3 +280,114 @@ def test_docs_asset_references_exist():
                 if not glob.glob(os.path.join(repo, one)):
                     missing.append(f"{os.path.basename(md)}: {one}")
     assert not missing, f"dangling docs/assets references: {missing}"
+
+
+# ---------------------------------------------------------------------------
+# round-4 review fixes (self code-review of the r4 diff)
+# ---------------------------------------------------------------------------
+
+
+def test_as_logits_probs_hysteresis_tolerates_fp_wobble():
+    """The per-batch re-check must not crash a LEGITIMATE probs scorer whose
+    row sums wobble a hair past the tight commit tolerance (e.g. a
+    reduced-precision softmax export): a committed-probs stream flips only
+    on an unambiguous contradiction (clearly negative entry, or a row sum
+    off by >0.05)."""
+    from triplegan_tpu.eval.inception import _as_logits
+
+    probs = np.full((4, 10), 0.1)
+    state = {}
+    with pytest.warns(UserWarning, match="double"):
+        _as_logits(probs, "auto", state)
+    assert state["is_probs"] is True
+
+    # fp16-grade wobble: sums 1.005 — fails the tight 1e-3 commit test but
+    # is NOT a flip; the stream must continue (log-mapped)
+    wobble = probs * 1.005
+    out = _as_logits(wobble, "auto", state)
+    np.testing.assert_allclose(out, np.log(wobble), atol=1e-12)
+
+    # unambiguous contradictions still raise
+    with pytest.raises(ValueError, match="flipped mid-stream"):
+        _as_logits(np.full((4, 10), -0.5), "auto", state)
+    state2 = {}
+    with pytest.warns(UserWarning, match="double"):
+        _as_logits(probs, "auto", state2)
+    with pytest.raises(ValueError, match="flipped mid-stream"):
+        _as_logits(probs * 2.0, "auto", state2)  # sums 2.0: off by >0.05
+
+
+def _stop_mid_eval_sampler(stop_paths):
+    """BatchSampler subclass that touches <workdir>/STOP after yielding the
+    FIRST test batch — planting a stop mid-eval, where it must abort the
+    remaining batches instead of burning the grace window."""
+    from triplegan_tpu.data.pipeline import BatchSampler
+
+    class StopMidEval(BatchSampler):
+        def test_batches(self, batch_size=None):
+            for i, b in enumerate(super().test_batches(batch_size)):
+                yield b
+                if i == 0:
+                    for p in stop_paths:
+                        with open(p, "w"):
+                            pass
+
+    return StopMidEval
+
+
+def test_stop_mid_final_eval_aborts_and_flags_preemption(tmp_path, monkeypatch):
+    """A SIGTERM/STOP landing DURING the final full-test-set re-eval (which
+    can take minutes over a flaky device link) must abort the remaining
+    eval batches, flag preemption, and still commit the final checkpoint —
+    not burn the whole grace window inside the eval and get SIGKILLed
+    before the save."""
+    import triplegan_tpu.train.loop as loop_mod
+
+    cfg = tiny_config()
+    cfg.workdir = str(tmp_path)
+    cfg.steps_per_epoch = 2
+    cfg.epochs = 2
+    cfg.log_every = 0
+    cfg.eval_every_epochs = 0  # ONLY the final re-eval runs
+    cfg.ckpt_every_epochs = 0
+    data = tiny_data(cfg)  # 32 test images / batch 8 = 4 eval batches
+    stop_path = os.path.join(str(tmp_path), cfg.name, "STOP")
+
+    with monkeypatch.context() as m:
+        m.setattr(loop_mod, "BatchSampler", _stop_mid_eval_sampler([stop_path]))
+        result = loop_mod.train(cfg, data=data, verbose=False)
+    assert result["preempted"] is True
+    assert result["test_error"] is None  # partial eval must NOT be reported
+    assert result["steps"] == 4  # training itself ran to completion
+    # the final checkpoint still committed
+    run_dir = os.path.join(str(tmp_path), cfg.name)
+    assert os.path.isdir(os.path.join(run_dir, "ckpt", "4"))
+
+
+def test_stop_mid_periodic_eval_goes_straight_to_preempt_ckpt(
+    tmp_path, monkeypatch
+):
+    """Same scenario inside a PERIODIC epoch-boundary eval: the partial
+    eval is abandoned (no test_error logged, no sample grid), the loop
+    stops, and the preempt checkpoint commits."""
+    import triplegan_tpu.train.loop as loop_mod
+
+    cfg = tiny_config()
+    cfg.workdir = str(tmp_path)
+    cfg.steps_per_epoch = 2
+    cfg.epochs = 4
+    cfg.log_every = 0
+    cfg.eval_every_epochs = 1  # first periodic eval at step 2
+    cfg.ckpt_every_epochs = 0
+    data = tiny_data(cfg)
+    stop_path = os.path.join(str(tmp_path), cfg.name, "STOP")
+
+    with monkeypatch.context() as m:
+        m.setattr(loop_mod, "BatchSampler", _stop_mid_eval_sampler([stop_path]))
+        result = loop_mod.train(cfg, data=data, verbose=False)
+    assert result["preempted"] is True
+    assert result["steps"] == 2  # stopped at the tripped boundary
+    assert result["test_error"] is None
+    run_dir = os.path.join(str(tmp_path), cfg.name)
+    assert not [f for f in os.listdir(run_dir) if f.startswith("samples_")]
+    assert os.path.isdir(os.path.join(run_dir, "ckpt", "2"))

@@ -88,9 +88,15 @@ def _as_logits(arr: np.ndarray, outputs: str, state: dict) -> np.ndarray:
     ``auto`` re-verifies the decision on EVERY batch and fails loudly on a
     mid-stream flip (VERDICT r3 weak #6: a degenerate first batch whose
     logits rows happen to sum to ~1 must not silently commit the whole run
-    to log-mapping). A consistent-but-wrong stream is indistinguishable by
-    construction — that case keeps the first-batch warning plus the
-    explicit ``outputs=`` override."""
+    to log-mapping). The re-check uses HYSTERESIS: the commit test is
+    tight (atol 1e-3 on row sums), but a committed-probs stream is only
+    declared flipped when a batch is *unambiguously* not probabilities
+    (a clearly negative entry, or a row sum off by >0.05) — a genuine
+    reduced-precision softmax export whose row sums wobble a hair past
+    the tight tolerance on some batches must complete, not crash
+    nondeterministically on batch contents. A consistent-but-wrong stream
+    is indistinguishable by construction — that case keeps the
+    first-batch warning plus the explicit ``outputs=`` override."""
     if outputs == "logits":
         return arr
     if outputs == "probs":
@@ -110,11 +116,22 @@ def _as_logits(arr: np.ndarray, outputs: str, state: dict) -> np.ndarray:
                 "softmax — pass outputs='logits' to override",
                 stacklevel=2,
             )
-    elif looks_probs != state["is_probs"]:
+        return np.log(np.maximum(arr, 1e-12)) if state["is_probs"] else arr
+    if state["is_probs"]:
+        # committed probs → flipped only on an unambiguous contradiction
+        flipped = bool(
+            np.any(arr < -1e-3)
+            or not np.allclose(arr.sum(axis=-1), 1.0, atol=5e-2)
+        )
+    else:
+        # committed logits → a batch passing the tight probs test is the
+        # masquerade case the re-check exists for
+        flipped = looks_probs
+    if flipped:
         kinds = ("logits", "probabilities")
         raise ValueError(
             f"scorer output mode flipped mid-stream: batch {batch_no} looks "
-            f"like {kinds[looks_probs]} but batch 1 looked like "
+            f"like {kinds[not state['is_probs']]} but batch 1 looked like "
             f"{kinds[state['is_probs']]} — auto-detection is unreliable for "
             f"this scorer (e.g. a near-uniform logits model masquerading as "
             f"probabilities); pass outputs='logits' or 'probs' explicitly "

@@ -278,9 +278,15 @@ def train(
     # SAME iteration on every process: the train/eval/ckpt dispatches are
     # collective, so a process that stops while a peer dispatches one more
     # step deadlocks the pod. ``_global_stop`` all-gathers the local bit at
-    # fixed program points (loop top + post-dispatch), so all processes see
-    # the same verdict at the same point regardless of which process the
-    # signal or stop-file write landed on.
+    # fixed program points, so all processes see the same verdict at the
+    # same point regardless of which process the signal or stop-file write
+    # landed on. The allgather is a host-blocking DCN collective, so the
+    # hot loop must NOT pay it per iteration (it would serialize async
+    # dispatch); sync points are: every ``stop_sync_every`` steps of hot
+    # loop, the loop top right after any epoch-boundary tail (evals are
+    # where a grace-window signal most likely lands — they take seconds),
+    # post-dispatch at epoch boundaries, inside eval streams (per test
+    # batch, identical count on every process), and post-loop.
     stop = {"sig": None}
     stop_file = os.path.join(workdir, "STOP")
     if coord and os.path.exists(stop_file):
@@ -290,6 +296,9 @@ def train(
         stop["sig"] = signum
 
     multihost_sync = jax.process_count() > 1
+    # Hot-loop sync cadence (steps). Deterministic from the shared step
+    # count, so every process allgathers at the identical program points.
+    stop_sync_every = max(1, int(os.environ.get("TRIPLEGAN_STOP_SYNC_EVERY", "32")))
 
     def _global_stop() -> bool:
         # Only the coordinator polls the stop-file: it is also the process
@@ -313,12 +322,22 @@ def train(
     steps_since_log = 0
     it = start_step
     stopping = False
+    steps_since_sync = stop_sync_every  # force a sync on the first loop top
+    sync_now = True
     try:
         while it < end_step:
             # Loop-top check catches a stop that arrived during the
             # previous iteration's eval/sample/ckpt tail, BEFORE the next
-            # dispatch is issued.
-            stopping = _global_stop()
+            # dispatch is issued. Under multihost the allgather is paid
+            # only at the throttled sync points (sync_now: every
+            # stop_sync_every steps, or right after an epoch tail) —
+            # single-process runs check the free local flag every time.
+            if not multihost_sync:
+                stopping = _global_stop()
+            elif sync_now or steps_since_sync >= stop_sync_every:
+                stopping = _global_stop()
+                steps_since_sync = 0
+                sync_now = False
             if stopping:
                 break
             if profile_dir and not profile_on and it >= profile_start:
@@ -336,6 +355,7 @@ def train(
                 taken = 1
             prev, it = it, it + taken
             steps_since_log += taken
+            steps_since_sync += taken
             if profile_on and it >= profile_stop:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
@@ -369,21 +389,31 @@ def train(
                 # grace window is for the preempt checkpoint, not for a
                 # full eval + grid render (the post-loop save still runs).
                 stopping = _global_stop()
+                steps_since_sync = 0
+                sync_now = True  # catch a stop landing during the tail below
             # cadence 0 = disabled (final eval/ckpt after the loop still run)
             if (epoch_done and not stopping and cfg.eval_every_epochs
                     and epoch % cfg.eval_every_epochs == 0):
-                test_error = evaluate_error(
-                    eval_step, state, _test_stream(sampler, sharding)
-                )
-                eval_at = it
-                logger.scalars(it, {"test_error": test_error})
-                if verbose:
-                    print(f"epoch {epoch}: test error {100 * test_error:.2f}%")
-                z, labels = class_grid_inputs(cfg, n_per_class=10, seed=cfg.seed)
-                grid = to_uint8_grid(sample_fn(state, z, labels), cfg.num_classes, 10)
-                logger.image(it, "samples", grid)
-                if coord:
-                    save_png(grid, os.path.join(workdir, f"samples_{it:08d}.png"))
+                try:
+                    test_error = evaluate_error(
+                        eval_step, state,
+                        _test_stream(sampler, sharding, stop_check=_global_stop),
+                    )
+                except _EvalInterrupted:
+                    # A stop landed mid-eval: abandon the partial eval (a
+                    # truncated test set must not be logged as the error)
+                    # and go straight to the preempt checkpoint.
+                    stopping = True
+                else:
+                    eval_at = it
+                    logger.scalars(it, {"test_error": test_error})
+                    if verbose:
+                        print(f"epoch {epoch}: test error {100 * test_error:.2f}%")
+                    z, labels = class_grid_inputs(cfg, n_per_class=10, seed=cfg.seed)
+                    grid = to_uint8_grid(sample_fn(state, z, labels), cfg.num_classes, 10)
+                    logger.image(it, "samples", grid)
+                    if coord:
+                        save_png(grid, os.path.join(workdir, f"samples_{it:08d}.png"))
             if (epoch_done and not stopping and cfg.ckpt_every_epochs
                     and epoch % cfg.ckpt_every_epochs == 0):
                 ckpt.save(it, state)
@@ -400,8 +430,18 @@ def train(
             # stale (run ended mid-epoch): the reported "done" error must match
             # what `cli eval` computes from the final checkpoint (the parity
             # protocol compares exactly these two numbers, docs/PARITY.md §4).
-            test_error = evaluate_error(eval_step, state, _test_stream(sampler, sharding))
-            logger.scalars(it, {"test_error": test_error})
+            # A SIGTERM/STOP landing during this multi-batch eval aborts it
+            # (the grace window is for the checkpoint below, not a full-set
+            # eval over a possibly-flaky device link) and flags preemption.
+            try:
+                test_error = evaluate_error(
+                    eval_step, state,
+                    _test_stream(sampler, sharding, stop_check=_global_stop),
+                )
+            except _EvalInterrupted:
+                preempted = True
+            else:
+                logger.scalars(it, {"test_error": test_error})
         ckpt.save(int(state.step), state)
         ckpt.close()
     finally:
@@ -457,12 +497,24 @@ def _apply_ddinit(cfg, nets, state, data: SemiSupervisedData, zca):
     return state.replace(params=new_params)
 
 
-def _test_stream(sampler: BatchSampler, sharding):
+class _EvalInterrupted(Exception):
+    """A stop (SIGTERM/STOP-file) tripped mid-eval; the partial eval is
+    abandoned. Raised at identical batch indices on every process (the
+    stop check is the synced verdict), so collective callers stay lock-
+    step."""
+
+
+def _test_stream(sampler: BatchSampler, sharding, stop_check=None):
     """Test batches, padded to a fixed shape and staged (sharded on a mesh;
     stage_global under multi-host — every process iterates the same test
-    set, so the global-array contract holds)."""
+    set, so the global-array contract holds). ``stop_check`` (the synced
+    stop verdict) is polled before each batch so a grace-window signal
+    aborts a long eval instead of burning the window; evals are rare and
+    per-batch compute dwarfs the allgather, unlike the train hot loop."""
     multihost = jax.process_count() > 1
     for batch in sampler.test_batches():
+        if stop_check is not None and stop_check():
+            raise _EvalInterrupted()
         if sharding is not None:
             if multihost:
                 batch = pmesh.stage_global(batch, sharding)
