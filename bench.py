@@ -68,16 +68,24 @@ def _last_recorded_bench(root: str = None) -> str:
         if not isinstance(value, (int, float)):
             continue
         name = os.path.basename(path)
-        # Recency key: file mtime. The driver's BENCH_r*.json carry a round
-        # number and the bench's BENCH_LATEST.json a date — not mutually
-        # comparable — but on the machine where this guard runs, whichever
-        # artifact was WRITTEN last is the freshest number (a newer driver
-        # record must beat a stale LATEST whose refresh was suppressed).
+        # Recency key: file mtime first (on the machine where this guard
+        # runs, whichever artifact was WRITTEN last is the freshest number —
+        # a newer driver record must beat a stale LATEST whose refresh was
+        # suppressed). Tie-break equal mtimes — a fresh `git clone` stamps
+        # every artifact with the same checkout time (VERDICT r4 weak #5) —
+        # by the round number in the BENCH_r*.json name, then the record's
+        # own "recorded" date, so a clean checkout never reports round 1 as
+        # the last recorded measurement.
         try:
-            key = os.path.getmtime(path)
+            mtime = os.path.getmtime(path)
         except OSError:
-            key = 0.0
+            mtime = 0.0
+        import re
+
+        m = re.match(r"BENCH_r0*(\d+)\.json$", name)
+        round_no = int(m.group(1)) if m else -1
         when = rec.get("recorded", "")
+        key = (mtime, round_no, when)
         label = f"{value} img/s ({name}{', ' + when if when else ''})"
         if best is None or key > best[0]:
             best = (key, label)

@@ -246,6 +246,33 @@ def test_last_recorded_bench_reads_artifacts(tmp_path):
         str(tmp_path))
 
 
+def test_last_recorded_bench_equal_mtimes_fresh_clone(tmp_path):
+    """A fresh `git clone` stamps every BENCH_*.json with the same checkout
+    mtime; the tie-break (round number from the name, then recorded date)
+    must pick the latest round, never round 1 (VERDICT r4 weak #5)."""
+    import json
+    import os as os_mod
+
+    import bench
+
+    def put(name, rec):
+        p = tmp_path / name
+        p.write_text(json.dumps(rec))
+        os_mod.utime(p, (7000, 7000))  # one shared checkout mtime
+
+    put("BENCH_r01.json", {"n": 1, "parsed": {"value": 7739.0}})
+    put("BENCH_r02.json", {"n": 2, "parsed": {"value": 8433.84}})
+    put("BENCH_r10.json", {"n": 10, "parsed": {"value": 9900.0}})
+    put("BENCH_r04.json", {"n": 4, "parsed": {"value": 9444.55}})
+    assert "9900.0 img/s (BENCH_r10.json)" == bench._last_recorded_bench(
+        str(tmp_path))
+    # LATEST at the same mtime does not outrank the newest driver round
+    # record (both land in the same round-end commit with the same number).
+    put("BENCH_LATEST.json", {"recorded": "2026-08-20",
+                              "parsed": {"value": 9444.55}})
+    assert "9900.0" in bench._last_recorded_bench(str(tmp_path))
+
+
 def test_bench_guard_total_budget_caps_retries(monkeypatch, capsys):
     """With a dead tunnel, the guard's error JSON must land within
     BENCH_DEVICE_TOTAL_BUDGET: when no budget remains for another
