@@ -83,7 +83,7 @@ def test_resume_skips_completed_train_legs(tmp_path, monkeypatch):
 
     calls = []
 
-    def fake_run_cli(cmd, log_path=None):
+    def fake_run_cli(cmd, log_path=None, extra_env=None):
         calls.append(cmd[0])
         return "test error: 5.00%"
 

@@ -56,13 +56,21 @@ def cli_cmd(args: list[str]) -> list[str]:
     return [sys.executable, "-m", "triplegan_tpu.cli", *args]
 
 
-def run_cli(args: list[str], log_path: str | None = None) -> str:
+def run_cli(args: list[str], log_path: str | None = None,
+            extra_env: dict[str, str] | None = None) -> str:
     """One CLI stage as a subprocess (one device process at a time); output
-    streams to ``log_path`` for long train legs, else is captured."""
+    streams to ``log_path`` for long train legs, else is captured.
+    ``extra_env`` overlays the inherited environment — used by
+    tools/flagset_ab.py for per-arm env knobs (e.g.
+    ``TRIPLEGAN_DROPOUT_BITS=8``) that have no config-key surface."""
     cmd = cli_cmd(args)
-    print("+ " + shlex.join(cmd), flush=True)
+    print("+ " + shlex.join(cmd)
+          + (f"  [env {' '.join(f'{k}={v}' for k, v in extra_env.items())}]"
+             if extra_env else ""), flush=True)
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if extra_env:
+        env.update(extra_env)
     if log_path:
         with open(log_path, "a") as log:
             proc = subprocess.run(cmd, stdout=log, stderr=subprocess.STDOUT, env=env)
