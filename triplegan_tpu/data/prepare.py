@@ -267,16 +267,55 @@ def prepare_digits(raw_dir: str, out_dir: str) -> None:
     _save(out_dir, "digits", "test", x[test_idx], y[test_idx])
 
 
+# ---------------------------------------------------------------------------
+# shapes (structured learnable synthetic — generated, no raw files)
+# ---------------------------------------------------------------------------
+
+
+SHAPES_SEED = 0
+# > 3072 pixel dims so the prepare-time ZCA covariance is full-rank (the
+# fit warns and whitening amplifies null directions below that).
+SHAPES_N_TRAIN = 4000
+SHAPES_N_TEST = 1000
+
+
+def prepare_shapes(raw_dir: str, out_dir: str) -> None:
+    """Deterministic structured synthetic set (phase-randomized gratings,
+    ``data/datasets.py::make_shapes``): 4,000 train + 1,000 test 32×32×3
+    images whose class identity is GEOMETRY (orientation × frequency) at
+    SNR ≈ 2.1 — learnable by the cifar10_4k architecture in reduced
+    epochs, unlike the noise-dominated ``synthetic`` fixture.
+
+    ``raw_dir`` is ignored (nothing to convert); the fixed seed makes
+    every invocation byte-identical, so two independent implementations
+    (this framework and tools/tf_parity_train.py) reading the shards see
+    the SAME data — the precondition for the training-level ZCA +
+    augmentation cross-validation (docs/PARITY.md §12, VERDICT r4 #2).
+    ZCA statistics are fitted on the train images at prepare time, like
+    CIFAR-10's."""
+    from triplegan_tpu.data.datasets import make_shapes
+    from triplegan_tpu.data.zca import fit_zca
+
+    rng = np.random.RandomState(SHAPES_SEED)
+    x_tr, y_tr = make_shapes(SHAPES_N_TRAIN, rng=rng)
+    x_te, y_te = make_shapes(SHAPES_N_TEST, rng=rng)
+    _save(out_dir, "shapes", "train", x_tr, y_tr)
+    _save(out_dir, "shapes", "test", x_te, y_te)
+    stats = fit_zca(x_tr)
+    stats.save(os.path.join(out_dir, "shapes", "zca_stats.npz"))
+
+
 PREPARERS = {
     "mnist": prepare_mnist,
     "cifar10": prepare_cifar10,
     "svhn": prepare_svhn,
     "stl10": prepare_stl10,
     "digits": prepare_digits,
+    "shapes": prepare_shapes,
 }
 
 # Datasets whose converter needs no raw files on disk (data ships in-package).
-RAW_FREE = frozenset({"digits"})
+RAW_FREE = frozenset({"digits", "shapes"})
 
 
 def prepare(name: str, raw_dir: str, out_dir: str, download: bool = False) -> None:
