@@ -176,8 +176,13 @@ def main() -> None:
     # (tests/test_doctor.py::test_bench_cpu_smoke). The device guard probes
     # the DEFAULT backend, so it is skipped when the bench won't use it.
     platform = os.environ.get("TRIPLEGAN_PLATFORM")
-    if platform:
-        _jax.config.update("jax_platforms", platform)
+    if platform == "cpu":
+        _jax.config.update("jax_platforms", "cpu")
+    # platform == "tpu" deliberately does NOT pin jax_platforms: the chip
+    # may be registered under a different plugin name (e.g. 'axon') that
+    # auto-selection finds but the literal string breaks — see
+    # triplegan_tpu/utils/platform.py. The guard below probes the DEFAULT
+    # backend and fails loudly if no accelerator comes up.
     if platform != "cpu":
         _guard_device_init()
 

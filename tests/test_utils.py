@@ -90,3 +90,24 @@ def test_api_doc_symbols_exist():
         m = importlib.import_module(mod)
         for n in names:
             assert hasattr(m, n), f"{mod}.{n} missing but documented in docs/API.md"
+
+
+def test_apply_platform_cpu_and_tpu_semantics():
+    """utils/platform.py (2026-08-20 regression): a 'tpu' request must NOT
+    pin jax_platforms to the literal string — tunneled chips can register
+    under a different plugin name (observed 'axon') that only auto-
+    selection finds. Under the CPU-forced test env, 'tpu' must therefore
+    raise loudly (auto-selection yields cpu), 'cpu' must be a no-op-safe
+    re-force, None a no-op, and junk a ValueError."""
+    import jax
+    import pytest as _pytest
+
+    from triplegan_tpu.utils.platform import apply_platform
+
+    apply_platform(None)  # no-op
+    apply_platform("cpu")  # conftest already forced cpu; idempotent
+    assert jax.default_backend() == "cpu"
+    with _pytest.raises(RuntimeError, match="auto-selected 'cpu'"):
+        apply_platform("tpu")
+    with _pytest.raises(ValueError):
+        apply_platform("gpu")

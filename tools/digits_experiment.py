@@ -249,9 +249,9 @@ def main(argv=None) -> int:
     run_cli(stage_cmds(seeds[0])["prepare"])
 
     if platform:
-        import jax
+        from triplegan_tpu.utils.platform import apply_platform
 
-        jax.config.update("jax_platforms", platform)
+        apply_platform(platform)
 
     baseline_errors, triplegan_errors = [], []
     for seed in seeds:

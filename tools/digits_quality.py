@@ -114,9 +114,9 @@ def main(argv=None) -> int:
         os.environ["TRIPLEGAN_PLATFORM"] = args.platform
     platform = os.environ.get("TRIPLEGAN_PLATFORM")
     if platform:
-        import jax
+        from triplegan_tpu.utils.platform import apply_platform
 
-        jax.config.update("jax_platforms", platform)
+        apply_platform(platform)
 
     import jax
     import numpy as np

@@ -819,9 +819,9 @@ def main(argv=None):
         # spawns (doctor's device probe, campaign stages, serve workers)
         # honors the --platform flag form too, not just the env form.
         os.environ["TRIPLEGAN_PLATFORM"] = platform
-        import jax
+        from triplegan_tpu.utils.platform import apply_platform
 
-        jax.config.update("jax_platforms", platform)
+        apply_platform(platform)
     from triplegan_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

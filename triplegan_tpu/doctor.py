@@ -36,11 +36,17 @@ import os
 plat = os.environ.get("TRIPLEGAN_PLATFORM")  # set by cli --platform too
 if os.environ.get("TRIPLEGAN_DOCTOR_CPU") == "1":
     plat = "cpu"
-if plat:
-    import jax
-    jax.config.update("jax_platforms", plat)
 import jax
+if plat == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+# plat == "tpu" must NOT pin jax_platforms: tunneled chips can register
+# under a different plugin name (e.g. 'axon') whose devices still report
+# platform 'tpu'; auto-selection finds them, the literal string does not
+# (utils/platform.py). The backend assertion below catches CPU fallback.
 ds = jax.devices()
+if plat == "tpu" and jax.default_backend() != "tpu":
+    raise RuntimeError(
+        f"tpu requested but auto-selection produced {jax.default_backend()!r}")
 import jax.numpy as jnp
 x = jnp.ones((8, 8)); float((x @ x).sum())
 print("DOCTOR_DEVICES", jax.default_backend(), len(ds))
