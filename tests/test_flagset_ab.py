@@ -169,3 +169,39 @@ def test_sharefwd_delegation_matches_legacy_surface(tmp_path, capsys):
     assert "--set name=ab_digits_n100_s7_on" in out
     assert out.count("--set share_pseudo_forward=false") == 2
     assert out.count("--set share_pseudo_forward=true") == 2
+
+
+def test_scores_from_train_log_skipping_eval_leg(tmp_path):
+    """When the train leg's log carries the driver's final-eval line
+    ('done: step=N test_error=X%'), the campaign must score from it and
+    skip the separate eval invocation (each costs ~10 min of tunnel
+    handshake on this hardware); the score is cached like an eval."""
+    mod = _tool()
+    wd = tmp_path / "runs"
+    wd.mkdir()
+    calls = []
+
+    def fake_runner(cmd, log_path=None, extra_env=None):
+        calls.append(cmd[0])
+        if cmd[0] == "train":
+            with open(log_path, "w") as f:
+                f.write("step 10/10 [9000 img/s] loss_c=1.0\n"
+                        "done: step=10 test_error=4.50%\n")
+        return ""
+
+    rc = mod.run_ab(
+        workdir=str(wd), data_dir=str(tmp_path / "d"), config="mnist100",
+        dataset="digits", num_labeled=100, seeds=[1], epochs=10,
+        warmup_epochs=3, arms={"a": {}, "b": {"sets": ["zca=false"]}},
+        artifact_path=str(wd / "out.json"), runner=fake_runner,
+    )
+    assert rc == 0
+    assert calls == ["prepare", "train", "train"]  # zero eval legs
+    summary = json.loads((wd / "out.json").read_text())
+    assert summary["a_errors_pct"] == [4.5]
+    assert summary["b_errors_pct"] == [4.5]
+    # the score was cached for future --resume restarts
+    cached = json.loads(
+        (wd / "ab_digits_n100_s1_a_eval.json").read_text())
+    assert cached == {"test_error_pct": 4.5}
+    assert mod.parse_train_final_error(str(wd / "missing.log")) is None

@@ -96,3 +96,14 @@ def test_prepare_shapes_writes_shards_and_zca(tmp_path):
     # and the FFT oracle reads the prepared shards too
     acc = (_fft_classify(train["images"][:300]) == train["labels"][:300]).mean()
     assert acc > 0.95
+
+
+def test_prepare_shapes16_variant(tmp_path):
+    """16×16 variant: same generator/seed, FFT-oracle separable — the
+    spatial size the TF-side training cross-validation can afford."""
+    prepare("shapes16", "", str(tmp_path))
+    train = np.load(tmp_path / "shapes16" / "train.npz")
+    assert train["images"].shape == (4000, 16, 16, 3)
+    assert (tmp_path / "shapes16" / "zca_stats.npz").exists()
+    acc = (_fft_classify(train["images"][:300]) == train["labels"][:300]).mean()
+    assert acc > 0.95

@@ -93,8 +93,10 @@ def test_resume_skips_completed_train_legs(tmp_path, monkeypatch):
         "--seeds", "1", "--resume",
     ])
     assert rc == 0
-    # prepare + (s1_off: eval only) + (s1_on: train + eval)
-    assert calls == ["prepare", "eval", "train", "eval"]
+    # prepare + (s1_off: no legs at all — scored from its train log's
+    # final-eval line, round-5 tunnel-handshake saver) + (s1_on: train,
+    # then eval because the fake train wrote no log)
+    assert calls == ["prepare", "train", "eval"]
 
     assert mod.train_completed(str(wd / "ab_digits_n100_s1_off_train.log"))
     assert not mod.train_completed(str(wd / "ab_digits_n100_s1_on_train.log"))

@@ -70,9 +70,26 @@ paired_permutation_p = _exp.paired_permutation_p
 # Final training-metrics line in a train log: "step N/M [X img/s] k=v ..."
 METRICS_RE = re.compile(r"^step \d+/\d+ \[[0-9.]+ img/s\] (.+)$")
 
+# The train driver's completion line carries the FINAL test error (the
+# staleness-fixed final eval, train/loop.py): on this hardware each extra
+# CLI invocation costs ~10 min of tunnel handshake, so scoring from the
+# train log instead of a separate eval leg halves a campaign's wall-clock.
+# tests/test_cli.py asserts eval reproduces this exact number.
+DONE_RE = re.compile(r"^done: step=\d+ .*test_error=([0-9.]+)%", re.M)
+
+
+def parse_train_final_error(log_path: str):
+    """Final test error (percent) from a completed train log, or None."""
+    try:
+        with open(log_path) as f:
+            m = DONE_RE.search(f.read())
+    except OSError:
+        return None
+    return float(m.group(1)) if m else None
+
 # Datasets whose prepare step needs no raw files (data/prepare.py RAW_FREE);
 # 'synthetic' is generated in-process by the trainer and never prepared.
-_PREPARE_RAW_FREE = ("digits", "shapes")
+_PREPARE_RAW_FREE = ("digits", "shapes", "shapes16")
 
 
 def train_completed(log_path: str) -> bool:
@@ -202,21 +219,27 @@ def run_ab(
             else:
                 runner(cmds["train"], log_path=cmds["log"],
                        extra_env=extra_env)
-            # Evals over the flaky tunnel cost ~6 min each; cache each
-            # arm's scored error so a killed campaign never re-evals.
+            # Scoring order: cached eval → the train log's own final-eval
+            # line (free — saves the ~10 min tunnel handshake of a separate
+            # CLI invocation) → a real eval leg as fallback.
             if resume and os.path.exists(cmds["eval_cache"]):
                 with open(cmds["eval_cache"]) as f:
                     err_pct = json.load(f)["test_error_pct"]
                 print(f"  resume: eval cached ({err_pct}%), skipping",
                       flush=True)
             else:
-                out = runner(cmds["eval"], extra_env=extra_env)
-                m = ERROR_RE.search(out)
-                if not m:
-                    print(f"could not parse test error for seed {seed} "
-                          f"arm {arm}", file=sys.stderr)
-                    return 1
-                err_pct = float(m.group(1))
+                err_pct = parse_train_final_error(cmds["log"])
+                if err_pct is not None:
+                    print(f"  scored from train log final eval ({err_pct}%)",
+                          flush=True)
+                else:
+                    out = runner(cmds["eval"], extra_env=extra_env)
+                    m = ERROR_RE.search(out)
+                    if not m:
+                        print(f"could not parse test error for seed {seed} "
+                              f"arm {arm}", file=sys.stderr)
+                        return 1
+                    err_pct = float(m.group(1))
                 with open(cmds["eval_cache"], "w") as f:
                     json.dump({"test_error_pct": err_pct}, f)
             errors[arm].append(err_pct / 100.0)

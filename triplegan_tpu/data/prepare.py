@@ -279,7 +279,8 @@ SHAPES_N_TRAIN = 4000
 SHAPES_N_TEST = 1000
 
 
-def prepare_shapes(raw_dir: str, out_dir: str) -> None:
+def prepare_shapes(raw_dir: str, out_dir: str, image_size: int = 32,
+                   name: str = "shapes") -> None:
     """Deterministic structured synthetic set (phase-randomized gratings,
     ``data/datasets.py::make_shapes``): 4,000 train + 1,000 test 32×32×3
     images whose class identity is GEOMETRY (orientation × frequency) at
@@ -297,12 +298,20 @@ def prepare_shapes(raw_dir: str, out_dir: str) -> None:
     from triplegan_tpu.data.zca import fit_zca
 
     rng = np.random.RandomState(SHAPES_SEED)
-    x_tr, y_tr = make_shapes(SHAPES_N_TRAIN, rng=rng)
-    x_te, y_te = make_shapes(SHAPES_N_TEST, rng=rng)
-    _save(out_dir, "shapes", "train", x_tr, y_tr)
-    _save(out_dir, "shapes", "test", x_te, y_te)
+    x_tr, y_tr = make_shapes(SHAPES_N_TRAIN, image_size=image_size, rng=rng)
+    x_te, y_te = make_shapes(SHAPES_N_TEST, image_size=image_size, rng=rng)
+    _save(out_dir, name, "train", x_tr, y_tr)
+    _save(out_dir, name, "test", x_te, y_te)
     stats = fit_zca(x_tr)
-    stats.save(os.path.join(out_dir, "shapes", "zca_stats.npz"))
+    stats.save(os.path.join(out_dir, name, "zca_stats.npz"))
+
+
+def prepare_shapes16(raw_dir: str, out_dir: str) -> None:
+    """16×16 variant of ``shapes`` (same generator/seed/counts, FFT-oracle
+    still 100% separable): the spatial size the training-level TF cross-
+    validation can afford — the conv-large architecture at 32×32 costs
+    ≥13 s/step on this single CPU core (docs/PARITY.md §12)."""
+    prepare_shapes(raw_dir, out_dir, image_size=16, name="shapes16")
 
 
 PREPARERS = {
@@ -312,10 +321,11 @@ PREPARERS = {
     "stl10": prepare_stl10,
     "digits": prepare_digits,
     "shapes": prepare_shapes,
+    "shapes16": prepare_shapes16,
 }
 
 # Datasets whose converter needs no raw files on disk (data ships in-package).
-RAW_FREE = frozenset({"digits", "shapes"})
+RAW_FREE = frozenset({"digits", "shapes", "shapes16"})
 
 
 def prepare(name: str, raw_dir: str, out_dir: str, download: bool = False) -> None:
