@@ -47,6 +47,29 @@ def test_two_sample_perm_p():
         [1.0, 1.1, 0.9, 1.05, 0.95], [9.0, 9.1, 8.9, 9.05, 8.95]) < 0.05
 
 
+def test_equivalence_analysis_band():
+    """VERDICT r4 #4: the comparison must report an explicit equivalence
+    band, not only a p-value. Tight overlapping populations → TOST
+    equivalent within ±2 pts; a 5-pt systematic shift → NOT equivalent,
+    CI excludes zero."""
+    mod = _tool()
+    a = [5.4, 6.1, 5.8, 6.3, 5.6, 6.0, 5.9, 5.7]
+    b = [5.9, 5.5, 6.2, 5.6, 6.1, 5.8, 5.5, 6.4, 5.7, 6.0]
+    eq = mod.equivalence_analysis(a, b)
+    assert eq["tost_equivalent"] is True
+    lo, hi = eq["diff_ci90_pct"]
+    assert lo <= eq["mean_diff_pct"] <= hi
+    assert -2.0 < lo and hi < 2.0
+
+    shifted = [x + 5.0 for x in b]
+    eq2 = mod.equivalence_analysis(shifted, b)
+    assert eq2["tost_equivalent"] is False
+    assert eq2["diff_ci90_pct"][0] > 2.0  # whole CI above the margin
+    # and underpowered disagreement is not declared equivalent either:
+    eq3 = mod.equivalence_analysis([4.0, 9.0], [5.0, 8.5])
+    assert eq3["tost_equivalent"] is False  # CI spans far beyond ±2
+
+
 @pytest.mark.slow  # trains real TF for a few hundred steps
 def test_tf_micro_training_learns_and_summary_schema(tmp_path):
     """A micro TF run (real digits, 20 epochs) must beat chance by a wide

@@ -453,6 +453,34 @@ def train_tf(cfg, data, epochs, warmup_epochs, seed, log_every=600,
     return err, losses_log
 
 
+def equivalence_analysis(a: list, b: list, margin_pct: float = 2.0,
+                         n_boot: int = 20000, seed: int = 0) -> dict:
+    """Explicit equivalence band for the cross-implementation comparison
+    (VERDICT r4 next-step #4): a p-value alone cannot distinguish "the
+    implementations agree" from "the sample is too small to see a gap".
+
+    Reports the bootstrap 90% percentile CI on mean(a) − mean(b) and a
+    TOST verdict: the implementations are declared EQUIVALENT within
+    ``margin_pct`` iff the whole 90% CI lies inside ±margin (the standard
+    two-one-sided-tests construction at α=0.05). Default margin ±2.0 pts:
+    the 500-image digits test set alone contributes ±1.1 pt of per-seed
+    sampling noise (docs/PARITY.md §8), so a systematic gap under 2 pts is
+    inside the measurement's own resolution."""
+    a, b = np.asarray(a, float), np.asarray(b, float)
+    rng = np.random.RandomState(seed)
+    diffs = np.empty(n_boot)
+    for i in range(n_boot):
+        diffs[i] = (a[rng.randint(0, len(a), len(a))].mean()
+                    - b[rng.randint(0, len(b), len(b))].mean())
+    lo, hi = np.percentile(diffs, [5.0, 95.0])
+    return {
+        "mean_diff_pct": round(float(a.mean() - b.mean()), 3),
+        "diff_ci90_pct": [round(float(lo), 3), round(float(hi), 3)],
+        "equiv_margin_pct": margin_pct,
+        "tost_equivalent": bool(lo > -margin_pct and hi < margin_pct),
+    }
+
+
 def two_sample_perm_p(a: list, b: list, n_iter: int = 20000, seed: int = 0) -> float:
     """Two-sided permutation test on the difference of means of two
     INDEPENDENT samples (implementations use unrelated PRNGs, so pairing by
@@ -586,10 +614,12 @@ def main(argv=None) -> int:
     if args.compare_json:
         with open(args.compare_json) as f:
             ours = json.load(f)[args.compare_key]
-        p = two_sample_perm_p([100 * e for e in errors], ours)
+        tf_pct = [100 * e for e in errors]
+        p = two_sample_perm_p(tf_pct, ours)
         summary["ours_errors_pct"] = ours
         summary["ours_mean_pct"] = round(float(np.mean(ours)), 2)
         summary["perm_test_p"] = round(p, 4)
+        summary["equivalence"] = equivalence_analysis(tf_pct, ours)
         summary["verdict"] = "AGREE" if p >= 0.05 else "DISAGREE"
 
     tag = ("" if args.dataset == "digits" and args.config == "mnist100"
