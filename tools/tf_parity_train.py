@@ -513,6 +513,9 @@ def main(argv=None) -> int:
     ap.add_argument("--num-labeled", type=int, default=100)
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--warmup-epochs", type=int, default=100)
+    ap.add_argument("--log-every", type=int, default=600,
+                    help="loss-curve cadence in steps (use ~steps/10 for "
+                         "short recipes or the curve stays empty)")
     ap.add_argument("--compare-json", default=None,
                     help="summary JSON holding this framework's errors for "
                          "the same recipe (e.g. sharefwd_ab_digits_n100.json)")
@@ -588,7 +591,8 @@ def main(argv=None) -> int:
                     f"channels=...")
             print(f"=== TF full training, seed {seed} ===", flush=True)
             err, log = train_tf(cfg, data, args.epochs, args.warmup_epochs,
-                                seed, zca_stats=zca_stats)
+                                seed, log_every=args.log_every,
+                                zca_stats=zca_stats)
             print(f"  tf seed={seed} final test error: {100 * err:.2f}%",
                   flush=True)
             with open(seed_path, "w") as f:
