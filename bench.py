@@ -14,13 +14,21 @@ sequential sess.runs of small-conv graphs, f32) as the denominator;
 the driver-set target is ≥5× that per chip. Override via
 BENCH_BASELINE_IMG_S.
 
-Tunables: BENCH_BATCH (default 256), BENCH_DTYPE (default bfloat16),
+Tunables: BENCH_BATCH (default 384), BENCH_DTYPE (default bfloat16),
 BENCH_SCAN (default 20 — train steps per lax.scan chunk / dispatch),
 BENCH_STEPS (default 8 — number of *dispatches*, so the timed region runs
 BENCH_STEPS × BENCH_SCAN train steps), BENCH_DEVICE_DATA (default 1 —
 HBM-resident dataset; 0 = host-fed double-buffered pipeline, where
 BENCH_SCAN is forced to 1), BENCH_RBG, BENCH_FUSED_CLF, BENCH_PALLAS,
 BENCH_NO_AUG, BENCH_NO_ZCA, BENCH_CONFIG, BENCH_PROFILE.
+
+Headline policy (round 5): every deviation from shipped training
+semantics in the headline knob set must carry a real-data full-training
+quality A/B (docs/PARITY.md §11). Qualified and ON: bf16 compute
+(p=0.852) and share_pseudo_forward (p=1.000, §9). Measured HARMFUL and
+OFF: rbg PRNG + u8 dropout masks (the pair reproduced the full-ensemble
+regression; see §11) — BENCH_RBG=1 / BENCH_DROPOUT_BITS=8 remain as
+explicit opt-in throughput knobs for non-headline sweeps.
 
 Robustness: device init is probed first in a subprocess with a timeout
 (BENCH_DEVICE_TIMEOUT, default 600 s per probe; BENCH_DEVICE_RETRIES
@@ -99,7 +107,7 @@ def _last_recorded_bench(root: str = None) -> str:
 # not the measured configuration, so they are deliberately absent.
 _HEADLINE_KNOBS = {
     "BENCH_BATCH": "384", "BENCH_DTYPE": "bfloat16", "BENCH_SCAN": "20",
-    "BENCH_DEVICE_DATA": "1", "BENCH_RBG": "1", "BENCH_DROPOUT_BITS": "8",
+    "BENCH_DEVICE_DATA": "1", "BENCH_RBG": "0", "BENCH_DROPOUT_BITS": "32",
     "BENCH_FUSED_CLF": "0", "BENCH_PALLAS": "0", "BENCH_SHARE_FWD": "1",
     "BENCH_NO_AUG": "0", "BENCH_NO_ZCA": "0", "BENCH_CONFIG": "cifar10_4k",
     "BENCH_PEAK_TFLOPS": "197",
@@ -187,15 +195,18 @@ def main() -> None:
         _guard_device_init()
 
     enable_compilation_cache()
-    if os.environ.get("BENCH_RBG", "1") == "1":
-        # Hardware RBG PRNG: much cheaper dropout/noise mask generation on
-        # TPU than the default threefry counter-based PRNG.
+    if os.environ.get("BENCH_RBG", "0") == "1":
+        # Hardware RBG PRNG: cheaper dropout/noise mask generation on TPU
+        # than the default threefry counter-based PRNG. OFF the headline
+        # since round 5: the rbg+u8 factor REGRESSED real-data final error
+        # in a 10-seed full-training A/B (docs/PARITY.md §11) — the
+        # throughput it buys (~+2%) no longer carries the headline.
         _jax.config.update("jax_default_prng_impl", "rbg")
-    if os.environ.get("BENCH_DROPOUT_BITS", "8") == "8":
+    if os.environ.get("BENCH_DROPOUT_BITS", "32") == "8":
         # u8-bits dropout masks (4× less RNG material; keep-prob quantized
         # to n/256 — exact for 0.5, ≤0.1% bias at 0.8). A/B 2026-08-17:
-        # 8587 vs 8440 img/s. Same knob class as rbg: changes the random
-        # draw, preserves the distribution; echoed in the config field.
+        # 8587 vs 8440 img/s. OFF the headline since round 5, with rbg
+        # (same A/B, PARITY §11); opt back in with BENCH_DROPOUT_BITS=8.
         os.environ["TRIPLEGAN_DROPOUT_BITS"] = "8"
 
     from triplegan_tpu.configs import get_config
@@ -365,7 +376,7 @@ def main() -> None:
         "config": {
             "batch": batch,
             "dtype": dtype,
-            "prng_impl": "rbg" if os.environ.get("BENCH_RBG", "1") == "1" else "threefry",
+            "prng_impl": "rbg" if os.environ.get("BENCH_RBG", "0") == "1" else "threefry",
             "dropout_bits": int(os.environ.get("TRIPLEGAN_DROPOUT_BITS", "32")),
             "scan_steps": scan_steps,
             "data_on_device": on_device,
